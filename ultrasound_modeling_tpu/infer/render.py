@@ -1,0 +1,81 @@
+"""Polar-cone rendering (host, matplotlib).
+
+Reproduces the reference's 2x2 panel figure (reference: TBIEvaluator.py:276-355
+``Display``): prediction / truth / bleed-probability / bMode, each drawn as a
+``pcolormesh`` over the precomputed polar x/y axis grids from the ETL
+(reference: DataFilePlayGround.py:86-100 FetchPolarAxis; axes stored as
+``xAxis.npy``/``yAxis.npy``), magma colormap, inverted y-axis, bMode windowed
+to its histogram's [2, -2] bin edges (TBIEvaluator.py:336-339).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def default_axes(height: int = 256, width: int = 80):
+    """Synthetic cone axes for when no ETL axis files exist: a fan of rays
+    (the real geometry comes from FetchPolarAxis)."""
+    import math
+    theta = np.linspace(-math.pi / 4, math.pi / 4, width + 1)
+    r = np.linspace(20.0, 140.0, height + 1)
+    rr, tt = np.meshgrid(r, theta, indexing="ij")
+    x = rr * np.sin(tt) + 100.0
+    y = rr * np.cos(tt) - 4.0
+    return x, y
+
+
+def load_axes(axis_dir: str):
+    x = np.load(os.path.join(axis_dir, "xAxis.npy")).astype(int)
+    y = np.load(os.path.join(axis_dir, "yAxis.npy")).astype(int)
+    return x, y
+
+
+def render_panels(out_path: str, prob_composite: np.ndarray,
+                  truth: np.ndarray,
+                  prob_bleed: Optional[np.ndarray] = None,
+                  bmode: Optional[np.ndarray] = None,
+                  axes=None, title: str = "") -> str:
+    """Write the 2x2 polar panel PNG; returns the path."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    if axes is None:
+        xa, ya = default_axes(*prob_composite.shape)
+    else:
+        xa, ya = axes
+
+    fig, ax = plt.subplots(2, 2, figsize=(10, 6))
+    fig.tight_layout(rect=[0, 0, 1, 0.97])
+    fig.subplots_adjust(hspace=0.25, wspace=0.3, bottom=0.1)
+    cmap = "magma"
+
+    panels = [("Prediction", prob_composite, dict(vmin=0, vmax=2, cmap=cmap)),
+              (title or "Truth", truth, dict(vmin=0, vmax=2, cmap=cmap))]
+    if prob_bleed is not None:
+        panels.append(("Probability Bleed", prob_bleed,
+                       dict(vmin=0, vmax=1, cmap=cmap)))
+    if bmode is not None:
+        # bMode sign-flipped and windowed (reference: TBIEvaluator.py:247,336-339)
+        b = -np.asarray(bmode)
+        _, edges = np.histogram(b, bins=25)
+        panels.append(("bMode", b,
+                       dict(vmin=edges[2], vmax=edges[-2], cmap="binary")))
+
+    for i, (name, img, kw) in enumerate(panels[:4]):
+        a = ax[i // 2, i % 2]
+        a.grid(False)
+        a.pcolormesh(xa, ya, img, shading="flat", **kw)
+        a.invert_yaxis()
+        a.title.set_text(name)
+    for i in range(len(panels), 4):
+        ax[i // 2, i % 2].axis("off")
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

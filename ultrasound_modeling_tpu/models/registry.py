@@ -1,0 +1,48 @@
+"""Model zoo keyed by config name.
+
+The five reference families (SURVEY.md §2.1 rows 8-15):
+  transunet     — ResNeSt-hybrid TransUNet (reference: VisionTransformer.py)
+  resnest_unet  — standalone ResNeSt U-Net (reference: TBI_ResNest.py)
+  vit           — pure ViT segmenter (reference: TBI_Transformer.py)
+  swin          — Swin backbone + segmentation head (reference: SwinTransformer.py)
+  mobileunet    — MobileNetV2 U-Net (reference: TBIPixelCNN.py)
+"""
+
+from __future__ import annotations
+
+from ultrasound_modeling_tpu.config import ModelConfig
+
+
+def build_model(cfg: ModelConfig):
+    name = cfg.name
+    if name == "transunet":
+        from ultrasound_modeling_tpu.models.transunet import TransUNet
+        return TransUNet(
+            num_classes=cfg.num_classes, hidden_size=cfg.hidden_size,
+            num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+            mlp_dim=cfg.mlp_dim, grid=tuple(cfg.grid), radix=cfg.radix,
+            kpaths=cfg.kpaths, ksize=cfg.ksize,
+            dropout_rate=cfg.dropout_rate)
+    if name == "resnest_unet":
+        from ultrasound_modeling_tpu.models.resnest import ResNeStUNet
+        return ResNeStUNet(num_classes=cfg.num_classes, ksize=cfg.ksize,
+                           radix=cfg.radix, kpaths=cfg.kpaths)
+    if name == "vit":
+        from ultrasound_modeling_tpu.models.vit import ViTSegmenter
+        return ViTSegmenter(
+            num_classes=cfg.num_classes, hidden_size=cfg.vit_hidden,
+            num_heads=cfg.vit_heads, num_layers=cfg.vit_layers,
+            grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size))
+    if name == "swin":
+        from ultrasound_modeling_tpu.models.swin import SwinSegmenter
+        return SwinSegmenter(
+            num_classes=cfg.num_classes, img_size=tuple(cfg.img_size),
+            embed_dim=cfg.swin_embed_dim, window=tuple(cfg.window),
+            drop_path_rate=cfg.drop_path_rate)
+    if name == "mobileunet":
+        from ultrasound_modeling_tpu.models.mobileunet import MobileUNet
+        return MobileUNet(num_classes=cfg.num_classes)
+    raise KeyError(f"unknown model {name!r}")
+
+
+MODEL_NAMES = ("transunet", "resnest_unet", "vit", "swin", "mobileunet")

@@ -1,0 +1,274 @@
+"""ResNeSt split-attention encoder and standalone ResNeSt U-Net.
+
+Two parity targets:
+
+* ``ResNeStEncoder`` — the modular encoder used as the TransUNet hybrid stem
+  (reference: ResNest.py:4-58): stem convs -> 4x (avg-pool + split-attention
+  residual stage), returning the bottleneck plus 3 skip maps.  Block norms are
+  LayerNorm, activations LeakyReLU; the stem uses BatchNorm
+  (reference: ResNest.py:19,23,86,125).
+* ``ResNeStUNet`` — the standalone full U-Net (reference: TBI_ResNest.py:80-128):
+  6 pooling stages, 5 transposed-conv upsamples with skip concats, softmax
+  head; all-BatchNorm with ELU activations.
+
+Split-attention semantics preserved from the standalone (per-radix weights,
+reference: TBI_ResNest.py:175-207): sum radix branches -> global-avg-pool ->
+1x1 conv (C/2) -> per-radix 1x1 conv (C) -> softmax over *channels* (sigmoid
+if radix == 1) -> weighted sum.  Note the reference's channel-axis softmax is
+itself a deviation from the ResNeSt paper's radix-softmax; we preserve the
+reference's numerics.  (The modular ResNest.py:136-147 reuses one conv object
+across radix branches, making all branches identical — a latent defect; the
+standalone's per-radix weights are the intent and are what we implement.)
+
+TPU layout note: the radix branches and cardinal paths are structurally
+identical subnetworks applied to the same input with independent weights, so
+they are expressed with ``nn.vmap`` over stacked parameters rather than
+unrolled Python loops — one HLO body per stage (compile-time) and batched
+convs XLA can tile as grouped matmuls (runtime).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ultrasound_modeling_tpu.models.common import (
+    Norm, activation, avg_pool2, conv, conv_transpose)
+
+
+def _vmapped(module_cls, axis_size: int):
+    """nn.vmap over independent per-branch parameters, same input."""
+    return nn.vmap(
+        module_cls,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=None, out_axes=0, axis_size=axis_size,
+        methods=["__call__"])
+
+
+class _Dense2(nn.Module):
+    """Per-radix 1x1 attention conv (vmapped over radix)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, y):
+        return conv(self.channels, 1, name="dense2")(y)
+
+
+class SplitAttention(nn.Module):
+    """Split-attention over stacked radix branches
+    (reference: TBI_ResNest.py:175-207).
+
+    Input ``branches``: [R, B, H, W, C] stacked radix outputs.
+    """
+
+    channels: int
+    radix: int
+    norm: str = "layer"
+    act: str = "leaky"
+
+    @nn.compact
+    def __call__(self, branches: jnp.ndarray, train: bool = False):
+        act = activation(self.act)
+        s = jnp.sum(branches, axis=0)                      # [B, H, W, C]
+        gap = jnp.mean(s, axis=(1, 2), keepdims=True)      # [B, 1, 1, C]
+        y = conv(self.channels // 2, 1, name="dense1")(gap)
+        y = Norm(self.norm, name="dense1_norm")(y, train)
+        y = act(y)
+        z = _vmapped(_Dense2, self.radix)(self.channels, name="dense2")(y)
+        # z: [R, B, 1, 1, C]
+        if self.radix == 1:
+            z = nn.sigmoid(z)
+        else:
+            z = nn.softmax(z, axis=-1)  # channel-axis softmax (reference quirk)
+        return jnp.sum(branches * z, axis=0)
+
+
+class _CardinalBranch(nn.Module):
+    """One radix branch: 1x1 conv -> norm -> act -> kxk conv -> norm -> act
+    (reference: TBI_ResNest.py:160-171)."""
+
+    c_11: int
+    c_kk: int
+    ksize: int
+    norm: str
+    act: str
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = activation(self.act)
+        y = conv(self.c_11, 1, name="conv1")(x)
+        y = Norm(self.norm, name="conv1_norm")(y, train)
+        y = act(y)
+        y = conv(self.c_kk, self.ksize, name="conv2")(y)
+        y = Norm(self.norm, name="conv2_norm")(y, train)
+        return act(y)
+
+
+class Cardinal(nn.Module):
+    """One cardinal path: radix vmapped branches + split attention
+    (reference: TBI_ResNest.py:153-173)."""
+
+    outchannel: int
+    ksize: int
+    radix: int
+    kpaths: int
+    norm: str = "layer"
+    act: str = "leaky"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_11 = int(self.outchannel / self.radix / self.kpaths)
+        c_kk = int(self.outchannel / self.kpaths)
+        branches = _vmapped(_CardinalBranch, self.radix)(
+            c_11, c_kk, self.ksize, self.norm, self.act,
+            name="branches")(x, train)                     # [R, B, H, W, Ckk]
+        return SplitAttention(c_kk, self.radix, self.norm, self.act,
+                              name="split")(branches, train)
+
+
+class ResidualS(nn.Module):
+    """Split-attention residual stage (reference: TBI_ResNest.py:130-151,
+    ResNest.py:61-107).
+
+    ``shortcut_always``: the modular variant always projects + norms the
+    shortcut (ResNest.py:98-101); the standalone only when channel counts
+    differ (TBI_ResNest.py:142-146).
+    """
+
+    outchannel: int
+    ksize: int
+    radix: int
+    kpaths: int
+    norm: str = "layer"
+    act: str = "leaky"
+    shortcut_always: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = activation(self.act)
+        cards = _vmapped(Cardinal, self.kpaths)(
+            self.outchannel // 2, self.ksize, self.radix, self.kpaths,
+            self.norm, self.act, name="cardinals")(x, train)
+        # [K, B, H, W, C/2] -> channel-concat in cardinal order.
+        k, b, h, w, c = cards.shape
+        concats = jnp.moveaxis(cards, 0, -2).reshape(b, h, w, k * c)
+        concats = conv(self.outchannel, self.ksize, name="concat_conv")(concats)
+
+        if self.shortcut_always or x.shape[-1] != self.outchannel:
+            sc = conv(self.outchannel, 1, name="shortcut_conv")(x)
+            sc = Norm(self.norm, name="shortcut_norm")(sc, train)
+            sc = act(sc)
+        else:
+            sc = x
+        return sc + concats
+
+
+class ResNeStEncoder(nn.Module):
+    """Modular encoder for the TransUNet hybrid stem (reference: ResNest.py:4-58).
+
+    Returns ``(x4, [x3, x2, x1])``: bottleneck at 1/16 resolution plus skips
+    at 1/8, 1/4, 1/2.  Stage channels 64/128/256/512 (ResNest.py:29-36).
+    """
+
+    ksize: int = 3
+    radix: int = 3
+    kpaths: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        leaky = activation("leaky")
+        x = conv(16, 3, name="initial_conv")(x)
+        x = leaky(x)
+        x = conv(32, 3, name="convtmp_1")(x)
+        x = Norm("batch", name="convtmp_1bn")(x, train)
+        x = leaky(x)
+        x = conv(32, 3, name="convtmp_2")(x)
+        x = Norm("batch", name="convtmp_2bn")(x, train)
+        x = leaky(x)
+        x = avg_pool2(x)
+        x1 = ResidualS(64, self.ksize, self.radix, self.kpaths,
+                       norm="layer", act="leaky", name="stage1")(x, train)
+        x = avg_pool2(x1)
+        x2 = ResidualS(128, self.ksize, self.radix, self.kpaths,
+                       norm="layer", act="leaky", name="stage2")(x, train)
+        x = avg_pool2(x2)
+        x3 = ResidualS(256, self.ksize, self.radix, self.kpaths,
+                       norm="layer", act="leaky", name="stage3")(x, train)
+        x = avg_pool2(x3)
+        x4 = ResidualS(512, self.ksize, self.radix, self.kpaths,
+                       norm="layer", act="leaky", name="stage4")(x, train)
+        return x4, [x3, x2, x1]
+
+
+class _Upsample(nn.Module):
+    """ConvTranspose(k4, s2) -> BN -> [dropout 0.5] -> ReLU
+    (reference: TBI_ResNest.py:209-220)."""
+
+    out_channel: int
+    apply_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv_transpose(self.out_channel, 4, 2, name="t_conv")(x)
+        x = Norm("batch", name="bn")(x, train)
+        if self.apply_dropout:
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.relu(x)
+
+
+class ResNeStUNet(nn.Module):
+    """Standalone ResNeSt U-Net (reference: TBI_ResNest.py:80-128).
+
+    Input ``[B, H, W, C]`` with H, W divisible by 64 (six 2x pools — the
+    reference trains at 256x64x6, TBI_ResNest.py:267-270); output per-pixel
+    softmax probabilities ``[B, H, W, num_classes]``.
+    """
+
+    num_classes: int = 3
+    ksize: int = 3
+    radix: int = 3
+    kpaths: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        elu = activation("elu")
+        rs = dict(ksize=self.ksize, radix=self.radix, kpaths=self.kpaths,
+                  norm="batch", act="elu", shortcut_always=False)
+
+        x = conv(16, 3, name="conv1")(x)
+        x = elu(x)
+        x = conv(32, 3, name="conv2_1_1")(x)
+        x = elu(x)  # no BN on this conv in the reference (TBI_ResNest.py:86)
+        x = conv(32, 3, name="conv2_1_2")(x)
+        x = Norm("batch", name="conv2_1_2bn")(x, train)
+        x = elu(x)
+
+        pool1 = avg_pool2(x)
+        c1 = ResidualS(64, name="conv2_1", **rs)(pool1, train)
+        pool2 = avg_pool2(c1)
+        c2 = ResidualS(128, name="conv2_2", **rs)(pool2, train)
+        pool3 = avg_pool2(c2)
+        c3 = ResidualS(256, name="conv3_1", **rs)(pool3, train)
+        pool4 = avg_pool2(c3)
+        c4 = ResidualS(512, name="conv3_2", **rs)(pool4, train)
+        pool5 = avg_pool2(c4)
+        c5 = ResidualS(512, name="conv4_1", **rs)(pool5, train)
+        pool6 = avg_pool2(c5)
+
+        u = _Upsample(512, True, name="upsample_0")(pool6, train)
+        u = jnp.concatenate([u, pool5], axis=-1)
+        u = _Upsample(512, True, name="upsample_1")(u, train)
+        u = jnp.concatenate([u, pool4], axis=-1)
+        u = _Upsample(512, True, name="upsample_2")(u, train)
+        u = jnp.concatenate([u, pool3], axis=-1)
+        u = _Upsample(256, False, name="upsample_3")(u, train)
+        u = jnp.concatenate([u, pool2], axis=-1)
+        u = _Upsample(128, False, name="upsample_4")(u, train)
+        u = jnp.concatenate([u, pool1], axis=-1)
+
+        logits = conv_transpose(self.num_classes, 4, 2, name="f_tran")(u)
+        return nn.softmax(logits, axis=-1)

@@ -1,0 +1,227 @@
+"""TransUNet: ResNeSt-hybrid patch embedding -> transformer bottleneck ->
+DecoderCup with dilated-conv branches and hidden-state re-concat.
+
+Flagship model, parity with reference VisionTransformer.py + Decoder.py:
+
+* Embeddings: modular ResNeSt encoder produces the ``[B, 16, 5, 512]``
+  bottleneck; a 1x1 conv patch embed; position embeddings are CONSTANT ZEROS
+  (non-learned — reference: VisionTransformer.py:108, preserved).
+* Encoder: 8 pre-LN blocks (eps 1e-6), 4 heads, hidden 512, MLP 2048 with
+  GELU; attention scores scaled by 1/sqrt(num_heads) — NOT 1/sqrt(d_head)
+  (reference: VisionTransformer.py:42).
+* DecoderCup (reference: Decoder.py:98-146): reshape(16, 5) -> 3x3 conv 256
+  -> LN -> LeakyReLU -> 3 DecoderBlocks (4-branch dilated convs d=1/2/4/8 +
+  transposed-conv upsample + skip concat) with the transformer hidden states
+  re-reshaped and re-concatenated at every scale (Decoder.py:140-141) ->
+  3x3 transposed-conv softmax head.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ultrasound_modeling_tpu.models.common import (
+    Norm, activation, conv, conv_transpose, dense)
+from ultrasound_modeling_tpu.models.resnest import ResNeStEncoder
+from ultrasound_modeling_tpu.ops.attention import mha
+
+TRANSFORMER_LN_EPS = 1e-6  # reference: VisionTransformer.py:131-132,158
+
+
+class Attention(nn.Module):
+    """MHA with q/k/v/out Dense and the 1/sqrt(heads) scale
+    (reference: VisionTransformer.py:9-57)."""
+
+    hidden_size: int = 512
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        q = dense(self.hidden_size, name="query")(x)
+        k = dense(self.hidden_size, name="key")(x)
+        v = dense(self.hidden_size, name="value")(x)
+        ctx = mha(q, k, v, self.num_heads)
+        out = dense(self.hidden_size, name="out")(ctx)
+        if self.dropout_rate:
+            out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        return out
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (reference: VisionTransformer.py:60-78)."""
+
+    hidden_size: int = 512
+    mlp_dim: int = 2048
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = dense(self.mlp_dim, name="fc1")(x)
+        if self.dropout_rate:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = activation("gelu")(x)
+        x = dense(self.hidden_size, name="fc2")(x)
+        if self.dropout_rate:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference: VisionTransformer.py:127-150)."""
+
+    hidden_size: int = 512
+    num_heads: int = 4
+    mlp_dim: int = 2048
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x
+        x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="attention_norm")(x)
+        x = Attention(self.hidden_size, self.num_heads, self.dropout_rate,
+                      name="attn")(x, train)
+        x = x + h
+        h = x
+        x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="ffn_norm")(x)
+        x = Mlp(self.hidden_size, self.mlp_dim, self.dropout_rate,
+                name="ffn")(x, train)
+        return x + h
+
+
+class _ScanBlock(nn.Module):
+    """Block adapted to the (carry, out) protocol for nn.scan."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = Block(self.hidden_size, self.num_heads, self.mlp_dim,
+                  self.dropout_rate, name="block")(x, train)
+        return x, None
+
+
+class Encoder(nn.Module):
+    """num_layers blocks + final LN (reference: VisionTransformer.py:153-174).
+
+    Blocks are laid out as ONE ``nn.scan`` over stacked per-layer params
+    instead of ``num_layers`` unrolled copies: the compiled HLO contains a
+    single block body (an order-of-magnitude compile-time reduction for the
+    deep stacks; runtime is identical — weights stream per layer)."""
+
+    hidden_size: int = 512
+    num_heads: int = 4
+    num_layers: int = 8
+    mlp_dim: int = 2048
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scanned = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=self.num_layers,
+        )(self.hidden_size, self.num_heads, self.mlp_dim, self.dropout_rate,
+          name="blocks")
+        x, _ = scanned(x, train)
+        return nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="encoder_norm")(x)
+
+
+class DecoderBlock(nn.Module):
+    """Transposed-conv upsample + skip concat + two 4-branch dilated conv
+    stages (reference: Decoder.py:7-94).  Branch dilations 1 (as 1x1), 2, 4, 8;
+    each branch BatchNorm'd; concat then LeakyReLU."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, skip: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        leaky = activation("leaky")
+        x = conv_transpose(self.out_channels, 3, 2, name="up")(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        for stage in (1, 2):
+            branches = []
+            for b, (ksz, dil) in enumerate(((1, 1), (3, 2), (3, 4), (3, 8))):
+                y = conv(self.out_channels // 4, ksz, dilation=dil,
+                         name=f"conv{stage}_{b}")(x)
+                y = Norm("batch", name=f"bn{stage}_{b}")(y, train)
+                branches.append(y)
+            x = leaky(jnp.concatenate(branches, axis=-1))
+        return x
+
+
+class DecoderCup(nn.Module):
+    """reference: Decoder.py:98-146."""
+
+    num_classes: int = 3
+    grid: Tuple[int, int] = (16, 5)
+    head_channels: int = 256
+    skip_channels: Tuple[int, ...] = (256, 128, 64)
+
+    @nn.compact
+    def __call__(self, hidden_states, features=None, train: bool = False):
+        gh, gw = self.grid
+        b = hidden_states.shape[0]
+        y = hidden_states  # [B, seq, hidden] kept for per-scale re-concat
+        x = hidden_states.reshape(b, gh, gw, -1)
+        x = conv(self.head_channels, 3, name="conv_more")(x)
+        x = Norm("layer", name="bn1")(x, train)
+        x = activation("leaky")(x)
+        for i, ch in enumerate(self.skip_channels):
+            skip = None
+            if features is not None and i < len(features):
+                skip = features[i]
+            x = DecoderBlock(ch, name=f"block_{i}")(x, skip, train)
+            # Re-concat the raw transformer hidden states, reshaped to this
+            # scale (reference: Decoder.py:140-141).
+            scale = 2 ** (i + 1)
+            x0 = y.reshape(b, gh * scale, gw * scale, -1)
+            x = jnp.concatenate([x, x0], axis=-1)
+        logits = conv_transpose(self.num_classes, 3, 2, name="head")(x)
+        return nn.softmax(logits, axis=-1)
+
+
+class TransUNet(nn.Module):
+    """Full model (reference: VisionTransformer.py:192-257).
+
+    Input ``[B, 256, 80, 10]`` -> probabilities ``[B, 256, 80, num_classes]``.
+    """
+
+    num_classes: int = 3
+    hidden_size: int = 512
+    num_heads: int = 4
+    num_layers: int = 8
+    mlp_dim: int = 2048
+    grid: Tuple[int, int] = (16, 5)
+    radix: int = 3
+    kpaths: int = 3
+    ksize: int = 3
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats_bottleneck, features = ResNeStEncoder(
+            self.ksize, self.radix, self.kpaths, name="hybrid")(x, train)
+        # 1x1-conv patch embed on the 16x5 bottleneck
+        # (reference: VisionTransformer.py:106-107).
+        emb = conv(self.hidden_size, 1, name="patch_embeddings")(feats_bottleneck)
+        b = emb.shape[0]
+        seq = self.grid[0] * self.grid[1]
+        emb = emb.reshape(b, seq, self.hidden_size)
+        # Position embeddings: constant zeros (reference quirk,
+        # VisionTransformer.py:108) — a no-op, intentionally preserved.
+        encoded = Encoder(self.hidden_size, self.num_heads, self.num_layers,
+                          self.mlp_dim, self.dropout_rate,
+                          name="encoder")(emb, train)
+        return DecoderCup(self.num_classes, self.grid,
+                          name="decoder")(encoded, features, train)

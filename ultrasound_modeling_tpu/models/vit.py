@@ -1,0 +1,56 @@
+"""Pure ViT segmenter (reference: TBI_Transformer.py).
+
+Patch-conv embedding (patch 16x8 -> grid 16x10, seq 160, hidden 1280,
+8 heads, 8 layers — reference: TBI_Transformer.py:17,94-96,150), zero
+(non-learned) position embeddings (:106), pre-LN blocks with the
+1/sqrt(num_heads) attention scale (:50), final LN, reshape the encoded
+sequence back to the image plane and a 3x3 conv softmax head (:180-191).
+L2(1e-5) weight decay on dense/conv kernels is applied in the loss via
+optax.add_decayed_weights equivalents at the trainer level when configured.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ultrasound_modeling_tpu.models.common import conv, dense
+from ultrasound_modeling_tpu.models.transunet import Block, TRANSFORMER_LN_EPS
+
+
+class ViTSegmenter(nn.Module):
+    num_classes: int = 3
+    hidden_size: int = 1280
+    num_heads: int = 8
+    num_layers: int = 8
+    grid: Tuple[int, int] = (16, 10)
+    img_size: Tuple[int, int] = (256, 80)
+    mlp_dim: int = 2048
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = self.img_size
+        gh, gw = self.grid
+        patch = (h // gh, w // gw)  # (16, 8)
+        b = x.shape[0]
+        # Patch-conv embedding (reference: TBI_Transformer.py:103-105).
+        emb = nn.Conv(self.hidden_size, kernel_size=patch, strides=patch,
+                      padding="VALID",
+                      kernel_init=nn.initializers.he_normal(),
+                      name="patch_embeddings")(x)
+        emb = emb.reshape(b, gh * gw, self.hidden_size)
+        # Zero position embeddings — preserved no-op (TBI_Transformer.py:106).
+        for i in range(self.num_layers):
+            emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
+                        self.dropout_rate, name=f"block_{i}")(emb, train)
+        emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="encoder_norm")(emb)
+        # Reshape the sequence buffer back onto the image plane
+        # (reference: TBI_Transformer.py:188-189): 160*1280 = 256*80*10.
+        feat = emb.reshape(b, h, w, -1)
+        logits = nn.Conv(self.num_classes, kernel_size=(3, 3), padding="SAME",
+                         kernel_init=nn.initializers.normal(0.05),
+                         name="head")(feat)
+        return nn.softmax(logits, axis=-1)

@@ -1,0 +1,148 @@
+"""Trainer: the reference's ``Process`` loops, TPU-native.
+
+Semantics preserved from the reference drivers:
+* epoch loop over ``next_train`` with terminator (reference: MainNumpy.py:41-66),
+* eval every N epochs (5 — MainNumpy.py:80; 3 — TBI_ResNest.py:407),
+* piecewise-constant LR reassigned per epoch (MainNumpy.py:83-88),
+* reactive F1-plateau LR decay /5 and lr-floor early stop
+  (TBI_ResNest.py:391,407-412),
+* loss-stagnation "model is throwing a fit" detector (MainNumpy.py:76-79),
+* scalar + image summary cadence (MainNumpy.py:54-60,124-133).
+
+Differences by design (documented): metrics accumulate on device as psum-able
+counts (train.metrics) instead of host-side Keras metric objects; logging goes
+to JSONL scalars (+ optional TensorBoard if available) instead of tf.summary.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrasound_modeling_tpu.config import Config
+from ultrasound_modeling_tpu.data.pipeline import Dataset
+from ultrasound_modeling_tpu.models.registry import build_model
+from ultrasound_modeling_tpu.train import losses, metrics, optim, step as step_mod
+from ultrasound_modeling_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset: Dataset,
+                 model=None, mesh=None, logger: Optional[MetricLogger] = None,
+                 checkpointer=None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.model = model if model is not None else build_model(cfg.model)
+        self.mesh = mesh
+        self.logger = logger or MetricLogger()
+        self.checkpointer = checkpointer
+
+        tc = cfg.train
+        self.loss_fn = losses.get_loss(tc.loss)
+        clip = tc.clip_global_norm if tc.loss != "class_balanced" else None
+        # (the standalone ResNeSt U-Net applies no clipping —
+        #  reference: TBI_ResNest.py:43-46)
+        self.tx = optim.make_direction(clip_norm=clip)
+        self.schedule = optim.piecewise_constant(
+            tc.learning_rate, tc.lr_boundaries, tc.lr_values)
+        self.plateau_scale = 1.0
+
+        self.train_step = step_mod.make_train_step(
+            self.model, self.loss_fn, self.tx,
+            num_classes=cfg.model.num_classes,
+            augment=cfg.data.augment, flip=cfg.data.aug_flip)
+        self.eval_step = step_mod.make_eval_step(
+            self.model, self.loss_fn, num_classes=cfg.model.num_classes)
+
+        rng = jax.random.PRNGKey(tc.seed)
+        sample = jnp.zeros(
+            (tc.batch_size, dataset.height, dataset.width, dataset.channel),
+            jnp.float32)
+        self.state = step_mod.TrainState.create(self.model, self.tx, sample, rng)
+        if mesh is not None:
+            from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+            self.state = mesh_mod.replicate(mesh, self.state)
+        self.iteration = 0
+
+    # ------------------------------------------------------------------
+
+    def current_lr(self) -> float:
+        return float(self.schedule(self.iteration)) * self.plateau_scale
+
+    def _place_batch(self, x, y):
+        if self.mesh is not None:
+            from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+            return mesh_mod.shard_batch(self.mesh, x, y)
+        return x, y
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        tc = self.cfg.train
+        t0 = time.time()
+        last_loss = None
+        n_iters = 0
+        while True:
+            x, y, terminator = self.dataset.next_train(tc.batch_size)
+            x, y = self._place_batch(x, y)
+            self.state, loss, probs = self.train_step(
+                self.state, x, y, jnp.float32(self.current_lr()))
+            self.iteration += 1
+            n_iters += 1
+            if self.iteration % tc.log_every == 0:
+                self.logger.scalars(self.iteration,
+                                    {"train_loss": float(loss),
+                                     "lr": self.current_lr()})
+            if terminator:
+                break
+        last_loss = float(loss)
+        dt = time.time() - t0
+        fps = n_iters * tc.batch_size / max(dt, 1e-9)
+        self.logger.scalars(self.iteration, {
+            "epoch": epoch, "epoch_loss": last_loss, "frames_per_sec": fps})
+        return {"loss": last_loss, "frames_per_sec": fps, "iters": n_iters}
+
+    def evaluate(self, epoch: int, batch_size: Optional[int] = None
+                 ) -> Dict[str, float]:
+        bs = batch_size or min(16, self.dataset.num_te)
+        mstate = metrics.zeros(self.cfg.model.num_classes)
+        while True:
+            x, y, terminator = self.dataset.next_test(bs)
+            x, y = self._place_batch(x, y)
+            mstate, _, _ = self.eval_step(self.state, mstate, x, y)
+            if terminator:
+                break
+        summary = {k: float(v) for k, v in metrics.summarize(mstate).items()}
+        self.logger.scalars(self.iteration,
+                            {f"val_{k}": v for k, v in summary.items()})
+        return summary
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        tc = self.cfg.train
+        epochs = epochs or tc.epochs
+        prev_loss = None
+        f1_prev = 0.0
+        summary: Dict[str, float] = {}
+        for epoch in range(1, epochs + 1):
+            if self.current_lr() < tc.lr_floor:
+                break  # reference: TBI_ResNest.py:391, MainParallel.py:49-50
+            train_stats = self.train_epoch(epoch)
+            if prev_loss is not None and prev_loss == train_stats["loss"]:
+                # loss-stagnation detector (reference: MainNumpy.py:76-79)
+                self.logger.scalars(self.iteration, {"loss_stagnant": 1.0})
+            prev_loss = train_stats["loss"]
+            if epoch % tc.eval_every_epochs == 0:
+                summary = self.evaluate(epoch)
+                f1_cur = summary["f1"]
+                if f1_cur < f1_prev:
+                    # plateau decay (reference: TBI_ResNest.py:409-411)
+                    self.plateau_scale *= self.cfg.train.plateau_decay
+                f1_prev = f1_cur
+            if (self.checkpointer is not None
+                    and self.iteration % tc.checkpoint_every_steps < train_stats["iters"]):
+                self.checkpointer.save(self.state, self.iteration)
+        if self.checkpointer is not None:
+            self.checkpointer.save(self.state, self.iteration)
+        return summary

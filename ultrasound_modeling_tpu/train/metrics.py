@@ -1,0 +1,113 @@
+"""On-device metrics: confusion-matrix accumulation -> Dice / IoU / P / R / F1.
+
+The reference computes Keras Precision/Recall/MeanIoU on *rounded*
+probabilities, flattening all classes together (reference: MainNumpy.py:49-53,
+100-106), class-2-only variants on the last channel (MainNumpy.py:104-105),
+and manual F1 = 2PR/(P+R) (MainNumpy.py:121-122).  Under data parallelism it
+gathers per-replica outputs to the host and updates metrics there
+(reference: MainParallel.py:158-163) — strictly worse than reducing on device.
+
+Here metrics are accumulated on device as small integer tensors that are
+trivially ``psum``-able across a mesh:
+
+* ``binary_counts`` — TP/FP/FN/TN over thresholded (rounded) probabilities,
+  flattening all classes, exactly mirroring the Keras semantics; plus the
+  class-2-only (bleed) variant.
+* ``confusion_matrix`` — argmax-based ``[C, C]`` confusion, from which
+  per-class Dice / IoU / precision / recall / F1 derive.
+
+All functions are jit-safe; ``MetricState`` is a pytree and supports ``+``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MetricState(NamedTuple):
+    """Accumulable metric state (a pytree; add states to merge)."""
+
+    binary: jnp.ndarray        # [4] TP, FP, FN, TN over all classes
+    binary_c2: jnp.ndarray     # [4] same, bleed channel only
+    confusion: jnp.ndarray     # [C, C] argmax confusion (rows=true, cols=pred)
+    loss_sum: jnp.ndarray      # scalar
+    count: jnp.ndarray         # scalar batch count
+
+    def __add__(self, other: "MetricState") -> "MetricState":
+        return jax.tree.map(lambda a, b: a + b, self, other)
+
+
+def zeros(num_classes: int = 3) -> MetricState:
+    return MetricState(
+        binary=jnp.zeros(4, jnp.float32),
+        binary_c2=jnp.zeros(4, jnp.float32),
+        confusion=jnp.zeros((num_classes, num_classes), jnp.float32),
+        loss_sum=jnp.zeros((), jnp.float32),
+        count=jnp.zeros((), jnp.float32))
+
+
+def _binary_counts(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+    """Keras Precision/Recall semantics on rounded values: flatten, threshold
+    at 0.5 (rounding first makes them identical)."""
+    t = (jnp.round(y_true) > 0.5).reshape(-1)
+    p = (jnp.round(y_pred) > 0.5).reshape(-1)
+    tp = jnp.sum(t & p)
+    fp = jnp.sum(~t & p)
+    fn = jnp.sum(t & ~p)
+    tn = jnp.sum(~t & ~p)
+    return jnp.stack([tp, fp, fn, tn]).astype(jnp.float32)
+
+
+def confusion_matrix(y_true: jnp.ndarray, probs: jnp.ndarray,
+                     num_classes: int) -> jnp.ndarray:
+    """Argmax-based [C, C] confusion accumulated with one scatter-add."""
+    t = jnp.argmax(y_true, axis=-1).reshape(-1)
+    p = jnp.argmax(probs, axis=-1).reshape(-1)
+    idx = t * num_classes + p
+    flat = jnp.zeros(num_classes * num_classes, jnp.float32).at[idx].add(1.0)
+    return flat.reshape(num_classes, num_classes)
+
+
+def update(state: MetricState, y_true: jnp.ndarray, probs: jnp.ndarray,
+           loss: jnp.ndarray) -> MetricState:
+    c = state.confusion.shape[0]
+    return state + MetricState(
+        binary=_binary_counts(y_true, probs),
+        binary_c2=_binary_counts(y_true[..., -1], probs[..., -1]),
+        confusion=confusion_matrix(y_true, probs, c),
+        loss_sum=jnp.asarray(loss, jnp.float32),
+        count=jnp.ones((), jnp.float32))
+
+
+def _prf(counts: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    tp, fp, fn, _ = counts
+    precision = tp / jnp.maximum(tp + fp, 1.0)
+    recall = tp / jnp.maximum(tp + fn, 1.0)
+    f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-12)
+    return {"precision": precision, "recall": recall, "f1": f1}
+
+
+def summarize(state: MetricState) -> Dict[str, jnp.ndarray]:
+    """Derive the full scalar metric set from an accumulated state."""
+    out = {}
+    for key, counts in (("", state.binary), ("c2_", state.binary_c2)):
+        for name, val in _prf(counts).items():
+            out[key + name] = val
+    cm = state.confusion
+    tp = jnp.diag(cm)
+    support_true = cm.sum(axis=1)
+    support_pred = cm.sum(axis=0)
+    union = support_true + support_pred - tp
+    iou = tp / jnp.maximum(union, 1.0)
+    dice = 2 * tp / jnp.maximum(support_true + support_pred, 1.0)
+    out["mean_iou"] = jnp.mean(iou)
+    out["mean_dice"] = jnp.mean(dice)
+    for c in range(cm.shape[0]):
+        out[f"dice_c{c}"] = dice[c]
+        out[f"iou_c{c}"] = iou[c]
+    out["accuracy"] = tp.sum() / jnp.maximum(cm.sum(), 1.0)
+    out["loss"] = state.loss_sum / jnp.maximum(state.count, 1.0)
+    return out

@@ -1,0 +1,105 @@
+"""Optimizers and learning-rate schedules.
+
+Reference semantics:
+* Adam everywhere (reference: VisionTransformer.py:204); gradient clipping by
+  global norm 1.0 (reference: VisionTransformer.py:244); the standalone
+  ResNeSt U-Net clips nothing (reference: TBI_ResNest.py:43-46).
+* PiecewiseConstantDecay schedules (reference: MainNumpy.py:83-88 with
+  boundaries [2000,4000,8000,10000,15000] x [1,.3,.1,.03,.01,.003] scaled by
+  1e-2; MainParallel.py:74-79 variant scaled 1e-3).
+* Reactive F1-plateau LR/5 decay (reference: TBI_ResNest.py:407-412) — exposed
+  as a mutable scale multiplier in the train loop.
+* The MobileUNet trains encoder and decoder with different Adam rates
+  (2e-3 / 2e-4, beta1 = 0.5 — reference: TBIPixelCNN.py:256-257), expressed
+  here with ``optax.multi_transform`` over a path predicate.
+
+Built on optax: ``chain(clip_by_global_norm, scale_by_adam, scale)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import optax
+
+
+def piecewise_constant(base: float, boundaries: Sequence[int],
+                       values: Sequence[float]) -> Callable:
+    """``base * values[i]`` for steps in (boundaries[i-1], boundaries[i]]
+    (Keras PiecewiseConstantDecay semantics: len(values) = len(boundaries)+1)."""
+    bnds = jnp.asarray(boundaries)
+    vals = jnp.asarray(values, jnp.float32) * base
+
+    def schedule(step):
+        idx = jnp.sum(step > bnds)
+        return vals[idx]
+
+    return schedule
+
+
+def make_direction(clip_norm: Optional[float] = 1.0,
+                   b1: float = 0.9, b2: float = 0.999
+                   ) -> optax.GradientTransformation:
+    """Clip + Adam *direction* (no lr scale — the train step applies the
+    runtime learning rate; see train.step.make_train_step)."""
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2))
+    return optax.chain(*parts)
+
+
+def make_optimizer(learning_rate: float | Callable,
+                   clip_norm: Optional[float] = 1.0,
+                   b1: float = 0.9, b2: float = 0.999,
+                   plateau_scale: Optional[Callable[[], float]] = None
+                   ) -> optax.GradientTransformation:
+    """Adam with optional global-norm clipping (the reference's optimizer
+    stack — clip at VisionTransformer.py:244, Adam at :204)."""
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2))
+    if callable(learning_rate):
+        parts.append(optax.scale_by_schedule(lambda s: -learning_rate(s)))
+    else:
+        parts.append(optax.scale(-learning_rate))
+    return optax.chain(*parts)
+
+
+def make_dual_rate_optimizer(encoder_lr: float = 2e-4,
+                             decoder_lr: float = 2e-3,
+                             b1: float = 0.5,
+                             encoder_prefix: str = "encoder"
+                             ) -> optax.GradientTransformation:
+    """MobileUNet dual-Adam (reference: TBIPixelCNN.py:256-257,290-298):
+    parameters whose top-level collection starts with ``encoder_prefix`` get
+    the slower rate."""
+
+    def label_fn(params):
+        import jax
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "encoder"
+            if any(encoder_prefix in str(getattr(k, "key", "")) for k in path)
+            else "decoder",
+            params)
+
+    return optax.multi_transform(
+        {"encoder": optax.adam(encoder_lr, b1=b1),
+         "decoder": optax.adam(decoder_lr, b1=b1)},
+        label_fn)
+
+
+def mainnumpy_schedule(base: float = 1e-2) -> Callable:
+    """reference: MainNumpy.py:83-88."""
+    return piecewise_constant(
+        base, (2000, 4000, 8000, 10000, 15000),
+        (1.0, 0.3, 0.1, 0.03, 0.01, 0.003))
+
+
+def mainparallel_schedule(base: float = 1e-3) -> Callable:
+    """reference: MainParallel.py:74-79 (boundaries stretched to 10k-80k)."""
+    return piecewise_constant(
+        base, (10000, 20000, 40000, 60000, 80000),
+        (1.0, 0.3, 0.1, 0.03, 0.01, 0.003))

@@ -1,0 +1,138 @@
+"""jit/pjit train and eval steps.
+
+One fused device program per training step — augmentation, label2vec, forward,
+loss, backward, global-norm clip, Adam update and metric accumulation all
+compile into a single XLA executable (the reference jits only the
+forward/backward; augmentation and label encoding ran as host Python per batch
+— reference: Dataset_2.py:108-113 vs VisionTransformer.py:235-245).
+
+Data parallelism: the same step function is jitted with a batch sharded over
+the mesh ``data`` axis and replicated params; XLA inserts the gradient
+all-reduce (the reference's MirroredStrategy + ReduceOp.SUM —
+reference: MainParallel.py:117-134).  Note this gives cross-device (sync)
+BatchNorm statistics where the reference computed per-replica statistics; the
+sync behaviour is the one its own code contemplated switching to
+(reference: Decoder.py:330-331) and is generally better — divergence is
+documented here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ultrasound_modeling_tpu.data import augment as aug_mod
+from ultrasound_modeling_tpu.data import labels as labels_mod
+from ultrasound_modeling_tpu.train import metrics as metrics_mod
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any            # {} for models without BatchNorm
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, model, tx: optax.GradientTransformation,
+               sample_x: jnp.ndarray, rng: jax.Array) -> "TrainState":
+        init_rng, state_rng = jax.random.split(rng)
+        # jit the whole init: flax's eager init dispatches one op at a time,
+        # which is pathological over a remote-device tunnel (one roundtrip per
+        # op); as a single compiled program it is one dispatch.
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            {"params": init_rng, "dropout": init_rng}, sample_x, False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return cls(params=params, batch_stats=batch_stats,
+                   opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32), rng=state_rng)
+
+
+def _apply(model, params, batch_stats, x, train: bool, dropout_rng):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    kwargs = {}
+    if dropout_rng is not None:
+        kwargs["rngs"] = {"dropout": dropout_rng}
+    if train and batch_stats:
+        probs, updates = model.apply(variables, x, True,
+                                     mutable=["batch_stats"], **kwargs)
+        return probs, updates["batch_stats"]
+    probs = model.apply(variables, x, train, **kwargs)
+    return probs, batch_stats
+
+
+def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
+                    num_classes: int = 3, augment: bool = True,
+                    flip: bool = False, donate: bool = True):
+    """Build the fused train step:
+    ``(state, x, y_scalar, lr) -> (state, loss, probs)``.
+
+    ``y_scalar`` is the raw scalar label image ``[B, H, W]``; augmentation (if
+    enabled) and label2vec run inside the step.  ``lr`` is a runtime scalar —
+    the reference mutates its learning rate from the host (piecewise schedule
+    reassigned per epoch, reference: MainNumpy.py:83-88; reactive plateau /5,
+    reference: TBI_ResNest.py:409-411), so the lr is an argument rather than
+    baked into the optimizer; ``tx`` must therefore NOT include an lr scale
+    (use ``optim.make_direction`` — clip + adam direction only).
+    """
+
+    def step_fn(state: TrainState, x: jnp.ndarray, y_scalar: jnp.ndarray,
+                lr: jnp.ndarray):
+        rng = jax.random.fold_in(state.rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(rng)
+        if augment:
+            keys = jax.random.split(aug_rng, x.shape[0])
+            x, y_scalar = jax.vmap(
+                lambda k, im, lb: aug_mod.augment_sample(k, im, lb, flip=flip)
+            )(keys, x, y_scalar)
+        y = labels_mod.label2vec(y_scalar, num_classes)
+
+        def loss_of(params):
+            probs, new_stats = _apply(model, params, state.batch_stats, x,
+                                      True, dropout_rng)
+            return loss_fn(y, probs), (probs, new_stats)
+
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt, step=state.step + 1)
+        return new_state, loss, probs
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn: Callable, num_classes: int = 3):
+    """``(state, metric_state, x, y_scalar) -> (metric_state, loss, probs)``."""
+
+    def step_fn(state: TrainState, mstate, x, y_scalar):
+        y = labels_mod.label2vec(y_scalar, num_classes)
+        probs, _ = _apply(model, state.params, state.batch_stats, x,
+                          False, None)
+        loss = loss_fn(y, probs)
+        mstate = metrics_mod.update(mstate, y, probs, loss)
+        return mstate, loss, probs
+
+    return jax.jit(step_fn, donate_argnums=(1,))
+
+
+def make_forward(model):
+    """Plain jitted inference forward: ``(state, x) -> probs``."""
+
+    def fwd(state: TrainState, x):
+        probs, _ = _apply(model, state.params, state.batch_stats, x,
+                          False, None)
+        return probs
+
+    return jax.jit(fwd)

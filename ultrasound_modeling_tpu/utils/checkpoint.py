@@ -1,0 +1,93 @@
+"""Checkpoint / resume.
+
+The reference's variable-level checkpointing is dead code (its ``save_params``
+iterates ``model.layers.name`` and raises — reference: TBI_ResNest.py:57-78,
+documented in SURVEY.md §2.12); the intent was a named checkpoint with
+``max_to_keep=3`` rotation (TBI_ResNest.py:64-66) plus whole-model saves at
+the end of training (MainNumpy.py:177).  This module makes that intent work:
+
+* ``Checkpointer`` — saves/restores the full ``TrainState``
+  ``{params, batch_stats, opt_state, step, rng}`` with max-to-keep rotation,
+  via Orbax when available, falling back to a plain msgpack writer (flax
+  serialization) otherwise.  Restore covers preemption — the TPU failure mode
+  that matters (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from flax import serialization
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 use_orbax: Optional[bool] = None):
+        self.directory = os.path.abspath(directory)
+        self.max_to_keep = max_to_keep
+        os.makedirs(self.directory, exist_ok=True)
+        self.use_orbax = _HAS_ORBAX if use_orbax is None else use_orbax
+        self._mgr = None
+        if self.use_orbax:
+            try:
+                self._mgr = ocp.CheckpointManager(
+                    self.directory,
+                    options=ocp.CheckpointManagerOptions(
+                        max_to_keep=max_to_keep, create=True))
+            except Exception:
+                self.use_orbax = False
+
+    # -- msgpack fallback ---------------------------------------------------
+
+    def _msgpack_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step:010d}.msgpack")
+
+    def _msgpack_steps(self):
+        pat = re.compile(r"ckpt_(\d+)\.msgpack$")
+        steps = []
+        for f in os.listdir(self.directory):
+            m = pat.match(f)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    # -- public API ---------------------------------------------------------
+
+    def save(self, state: Any, step: int) -> None:
+        state = jax.device_get(state)
+        if self.use_orbax and self._mgr is not None:
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
+            self._mgr.wait_until_finished()
+            return
+        with open(self._msgpack_path(step), "wb") as fh:
+            fh.write(serialization.to_bytes(state))
+        for old in self._msgpack_steps()[: -self.max_to_keep]:
+            os.remove(self._msgpack_path(old))
+
+    def latest_step(self) -> Optional[int]:
+        if self.use_orbax and self._mgr is not None:
+            return self._mgr.latest_step()
+        steps = self._msgpack_steps()
+        return steps[-1] if steps else None
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``target`` (a template TrainState)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if self.use_orbax and self._mgr is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(jax.device_get(target)))
+        with open(self._msgpack_path(step), "rb") as fh:
+            return serialization.from_bytes(jax.device_get(target), fh.read())
