@@ -1,0 +1,51 @@
+"""Config tree: per-family defaults, TOML loading, env path overrides."""
+
+import os
+
+from ultrasound_modeling_tpu import config as cfg_mod
+
+
+def test_default_config_families():
+    c = cfg_mod.default_config("transunet")
+    assert c.model.img_size == (256, 80) and c.model.in_channels == 10
+    c = cfg_mod.default_config("resnest_unet")
+    assert c.model.img_size == (256, 64) and c.model.in_channels == 6
+    assert c.train.loss == "class_balanced" and c.train.eval_every_epochs == 3
+    c = cfg_mod.default_config("mobileunet")
+    assert c.model.in_channels == 15 and c.train.loss == "factor_scaled"
+    c = cfg_mod.default_config("vit")
+    assert c.train.l2_regularization == 1e-5
+
+
+def test_from_toml(tmp_path):
+    p = tmp_path / "cfg.toml"
+    p.write_text("""
+[model]
+name = "resnest_unet"
+num_classes = 2
+img_size = [256, 64]
+
+[train]
+batch_size = 8
+learning_rate = 1e-3
+""")
+    c = cfg_mod.from_toml(str(p))
+    assert c.model.name == "resnest_unet"
+    assert c.model.num_classes == 2
+    assert c.model.img_size == (256, 64)
+    assert c.train.batch_size == 8
+    # untouched sections keep defaults
+    assert c.mesh.model == 1
+
+
+def test_paths_env_override(monkeypatch):
+    monkeypatch.setenv("RAW_DATA_PATH", "/somewhere/raw")
+    p = cfg_mod.Paths()
+    assert p.raw_data == "/somewhere/raw"
+    assert p.dataset_dir("bleed").endswith("bleed")
+
+
+def test_bad_patient_lists_present():
+    d = cfg_mod.DataConfig()
+    assert 928 in d.bad_patients  # reference: DataFilePlayGround.py:278-279
+    assert 8 in d.iph_patients

@@ -1,0 +1,85 @@
+"""ETL tests on synthesized .mat files (scipy.io.savemat), covering the
+cardiac-cycle windowing, normalization, label construction and fold split
+(reference semantics: DataFilePlayGround.py:286-439)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ultrasound_modeling_tpu.data import etl
+
+H_RAW, W_RAW = 60, 40
+
+
+def _fake_mat(path, n_cycles=2, with_bleed=True):
+    from scipy.io import savemat
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H_RAW, 0:W_RAW]
+    brain = (((yy - 30) / 20) ** 2 + ((xx - 20) / 14) ** 2) < 1.0
+    blood = brain & (((yy - 30) ** 2 + (xx - 24) ** 2) < 16)
+    normal = brain & ~blood
+    n_frames = 30 * (n_cycles + 1)
+    savemat(path, {
+        "normalMask": normal.astype(float),
+        "bloodMask": (blood if with_bleed else np.zeros_like(blood)).astype(float),
+        "brainMask": brain.astype(float),
+        "bModeNorm": rng.uniform(0.5, 2.0, size=(H_RAW, W_RAW, n_cycles)),
+        "displacement": rng.normal(size=(H_RAW, W_RAW, n_frames)),
+        "hrTimes": np.arange(n_cycles + 1, dtype=float).reshape(1, -1) * 0.4,
+    })
+
+
+def test_process_mat_file(tmp_path):
+    path = str(tmp_path / "p.mat")
+    _fake_mat(path, n_cycles=2)
+    samples = etl.process_mat_file(path, objective=1)
+    assert len(samples) == 2  # one per cardiac cycle
+    s = samples[0]
+    assert s.shape == (256, 80, 12)
+    label = s[..., 0]
+    # label has all three regimes: outside 0, brain ~1, bleed ~2
+    assert label.min() <= 0.01
+    assert (np.abs(label - 1.0) < 0.1).any()
+    assert label.max() > 1.5
+    # displacement normalized to [-1, 1] and zeroed outside brain
+    disp = s[..., 1:11]
+    assert np.abs(disp).max() <= 1.0 + 1e-5
+    assert np.all(disp[label < 0.05] == 0)
+
+
+def test_brainmask_objective_binary_label(tmp_path):
+    path = str(tmp_path / "p.mat")
+    _fake_mat(path)
+    samples = etl.process_mat_file(path, objective=0)
+    label = samples[0][..., 0]
+    assert set(np.unique(label)) <= {0.0, 1.0}
+
+
+def test_normalize_displacement():
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(8, 8, 5)) * 7 + 3
+    out = etl.normalize_displacement(d)
+    np.testing.assert_allclose(out.mean(axis=(0, 1)), 0, atol=1e-9)
+    np.testing.assert_allclose(np.abs(out).max(axis=(0, 1)), 1, atol=1e-9)
+    # zero-channel safety
+    z = np.zeros((4, 4, 2))
+    assert np.all(etl.normalize_displacement(z) == 0)
+
+
+def test_run_etl_fold_split(tmp_path):
+    raw = tmp_path / "raw"
+    for p in ("DoD003", "DoD005"):
+        os.makedirs(raw / p)
+        for i in range(2):
+            _fake_mat(str(raw / p / f"{p}_Ter00{i}_RC1_Harmonics_Polar.mat"),
+                      n_cycles=1)
+    out = tmp_path / "out"
+    etl.run_etl(str(raw), str(out), objective=1, iteration=1, max_workers=1)
+    train = np.load(out / "bleed" / "TrainingData.npy")
+    test = np.load(out / "bleed" / "TestingData.npy")
+    paths = np.load(out / "bleed" / "TrainingPaths.npy")
+    assert train.ndim == 5 and train.shape[1:] == (1, 256, 80, 12)
+    assert train.shape[0] + test.shape[0] == 4
+    assert test.shape[0] >= 1  # count%10==1 fold captured file index 1
+    assert paths.shape[0] == train.shape[0]

@@ -57,6 +57,16 @@ def test_transunet_shapes():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+def test_transunet_ksac_decoder():
+    x = jnp.zeros((1, 64, 80, 10))
+    model = TransUNet(num_classes=3, hidden_size=64, num_heads=4, num_layers=1,
+                      mlp_dim=128, grid=(4, 5), radix=2, kpaths=2,
+                      decoder_kind="ksac")
+    probs = _init_and_forward(model, x, train=True)
+    assert probs.shape == (1, 64, 80, 3)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
 def test_transunet_gradients_flow():
     x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 64, 80, 10)),
                     jnp.float32)

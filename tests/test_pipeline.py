@@ -51,6 +51,27 @@ def test_fix_freezes_cursor():
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
 
+def test_prefetch_order_and_errors():
+    from ultrasound_modeling_tpu.data.pipeline import prefetch
+    out = list(prefetch(iter(range(7)), size=2))
+    assert out == list(range(7))
+    out2 = list(prefetch(range(3), size=2, place=lambda v: v * 10))
+    assert out2 == [0, 10, 20]
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    collected = []
+    try:
+        for v in prefetch(bad(), size=2):
+            collected.append(v)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised and collected == [1]
+
+
 def test_epoch_iterators():
     ds = Dataset.synthetic(n_train=9, n_test=5, height=16, width=16, n_disp=4)
     batches = list(ds.train_epoch(4))

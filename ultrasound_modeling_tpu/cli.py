@@ -37,6 +37,8 @@ def _add_common(p):
     p.add_argument("--val-data", default=None)
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay float32)")
 
 
 def build_dataset(cfg, args):
@@ -56,6 +58,8 @@ def build_config(args):
     from ultrasound_modeling_tpu.config import default_config
     cfg = default_config(args.model)
     model = dc.replace(cfg.model, num_classes=args.num_classes)
+    if getattr(args, "bf16", False):
+        model = dc.replace(model, compute_dtype="bfloat16")
     train = cfg.train
     if args.batch_size:
         train = dc.replace(train, batch_size=args.batch_size)

@@ -92,6 +92,7 @@ class ModelConfig:
     swin_embed_dim: int = 96
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     swin_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    swin_attn_impl: str = "xla"   # 'xla' | 'pallas' (fused window attention)
     drop_path_rate: float = 0.1
     dropout_rate: float = 0.0
     # Numerics: compute dtype for the forward pass; params stay f32.
@@ -118,6 +119,7 @@ class TrainConfig:
     # Reactive plateau decay (reference: TBI_ResNest.py:407-412).
     plateau_decay: float = 0.2
     lr_floor: float = 1e-5            # stop when lr < floor (TBI_ResNest.py:391)
+    l2_regularization: float = 0.0    # ViT uses 1e-5 (TBI_Transformer.py:11)
     seed: int = 0
     log_every: int = 100
     image_every: int = 491            # reference: MainNumpy.py:54
@@ -151,6 +153,26 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+def from_toml(path: str) -> Config:
+    """Load a config tree from TOML: top-level tables ``paths/data/model/
+    train/mesh``; missing keys keep their defaults (the reference's dotenv
+    covers only the four paths — reference: config.py:8-14)."""
+    import tomllib
+    with open(path, "rb") as fh:
+        raw = tomllib.load(fh)
+    sections = {}
+    for name, cls in (("paths", Paths), ("data", DataConfig),
+                      ("model", ModelConfig), ("train", TrainConfig),
+                      ("mesh", MeshConfig)):
+        base = cls()
+        if name in raw:
+            clean = {k: tuple(v) if isinstance(v, list) else v
+                     for k, v in raw[name].items()}
+            base = dataclasses.replace(base, **clean)
+        sections[name] = base
+    return Config(**sections)
+
+
 def default_config(model_name: str = "transunet", **overrides) -> Config:
     """Build a config for a model-zoo entry with per-family defaults."""
     model = ModelConfig(name=model_name)
@@ -164,7 +186,8 @@ def default_config(model_name: str = "transunet", **overrides) -> Config:
             train, batch_size=64, learning_rate=5e-3, loss="class_balanced",
             eval_every_epochs=3, epochs=46)
     elif model_name == "vit":
-        train = dataclasses.replace(train, batch_size=8, learning_rate=1e-3)
+        train = dataclasses.replace(train, batch_size=8, learning_rate=1e-3,
+                                    l2_regularization=1e-5)
     elif model_name == "mobileunet":
         # 15-channel 256x64 variant (reference: TBIPixelCNN.py:15,21);
         # dual Adam 2e-3/2e-4 beta1=0.5 (reference: TBIPixelCNN.py:256-257).

@@ -65,6 +65,35 @@ def run_inference(forward: Callable, x: np.ndarray,
     return np.concatenate(outs, axis=0)
 
 
+def group_by_path(paths: np.ndarray):
+    """Group consecutive test rows that share a path name — the cardiac-cycle
+    batches of one scan (reference: TBIEvaluator.py:99-118 CardiacPreProcess
+    walks the index forward while ``paths`` matches).
+
+    Returns a list of ``(path, start, stop)``.
+    """
+    flat = [str(p[0] if getattr(p, "ndim", 0) else p) for p in paths]
+    groups = []
+    start = 0
+    for i in range(1, len(flat) + 1):
+        if i == len(flat) or flat[i] != flat[start]:
+            groups.append((flat[start], start, i))
+            start = i
+    return groups
+
+
+def cardiac_inference(forward: Callable, x: np.ndarray, paths: np.ndarray,
+                      batch_size: int = 16) -> list:
+    """Per-scan cardiac-cycle inference: run all cycles of each scan as one
+    batch and return ``[(path, probs [cycles, H, W, C])]`` (replaces the
+    reference's Cardiac_Model process fan-out, TBIEvaluator.py:132-160)."""
+    out = []
+    for path, start, stop in group_by_path(paths):
+        probs = run_inference(forward, x[start:stop], batch_size)
+        out.append((path, probs))
+    return out
+
+
 def split_eval_file(raw: np.ndarray, index: int
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-image (x, y, bMode) extraction from a raw ETL test file

@@ -26,6 +26,23 @@ LEAKY_ALPHA = 0.3
 he_normal = nn.initializers.he_normal()
 glorot_uniform = nn.initializers.glorot_uniform()
 
+# Compute dtype for matmuls/convs (params stay float32).  bfloat16 doubles
+# MXU throughput on TPU; set before model construction/trace (trace-time
+# constant).  Softmaxes and losses stay in float32 regardless.
+_COMPUTE_DTYPE = None  # None = float32 everywhere
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the global compute dtype ('bfloat16' / jnp.bfloat16 / None)."""
+    global _COMPUTE_DTYPE
+    if isinstance(dtype, str):
+        dtype = None if dtype in ("float32", "f32") else jnp.dtype(dtype).type
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 def activation(kind: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if kind == "leaky":
@@ -53,14 +70,15 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "layer":
-            return nn.LayerNorm(epsilon=KERAS_LN_EPS)(x)
+            return nn.LayerNorm(epsilon=KERAS_LN_EPS,
+                                dtype=compute_dtype())(x)
         if self.kind == "batch":
             ura = (not train if self.use_running_average is None
                    else self.use_running_average)
             return nn.BatchNorm(
                 use_running_average=ura,
                 momentum=KERAS_BN_MOMENTUM, epsilon=KERAS_BN_EPS,
-                axis_name=None)(x)
+                dtype=compute_dtype(), axis_name=None)(x)
         if self.kind == "none":
             return x
         raise ValueError(f"unknown norm {self.kind!r}")
@@ -79,7 +97,7 @@ def conv(features: int, kernel: int | tuple = 3, strides: int = 1,
     s = strides if isinstance(strides, tuple) else (strides, strides)
     return nn.Conv(features, kernel_size=k, strides=s, padding="SAME",
                    kernel_dilation=(dilation, dilation), use_bias=use_bias,
-                   kernel_init=kernel_init, name=name)
+                   kernel_init=kernel_init, dtype=compute_dtype(), name=name)
 
 
 def conv_transpose(features: int, kernel: int = 3, strides: int = 2,
@@ -88,14 +106,15 @@ def conv_transpose(features: int, kernel: int = 3, strides: int = 2,
     """Keras-``Conv2DTranspose(padding='same')``-equivalent: out = in * stride."""
     return nn.ConvTranspose(
         features, kernel_size=(kernel, kernel), strides=(strides, strides),
-        padding="SAME", use_bias=use_bias, kernel_init=kernel_init, name=name)
+        padding="SAME", use_bias=use_bias, kernel_init=kernel_init,
+        dtype=compute_dtype(), name=name)
 
 
 def dense(features: int, use_bias: bool = True,
           kernel_init=glorot_uniform, name: Optional[str] = None) -> nn.Dense:
     """Keras-``Dense``-default (glorot_uniform) equivalent."""
     return nn.Dense(features, use_bias=use_bias, kernel_init=kernel_init,
-                    name=name)
+                    dtype=compute_dtype(), name=name)
 
 
 def dropout(rate: float, deterministic: bool) -> Callable:

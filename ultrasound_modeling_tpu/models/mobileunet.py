@@ -28,7 +28,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ultrasound_modeling_tpu.models.common import Norm, activation, conv_transpose
+from ultrasound_modeling_tpu.models.common import Norm, activation, compute_dtype, conv_transpose
 
 # (filters, stride) per inverted-residual block (reference: TBIPixelCNN.py:53-84).
 _BLOCK_TABLE = (
@@ -55,19 +55,19 @@ class InvertedResidual(nn.Module):
         in_filters = x.shape[-1]
         expand_out = None
         if self.block_id:
-            x = nn.Conv(self.expansion * in_filters, (1, 1), padding="SAME",
+            x = nn.Conv(self.expansion * in_filters, (1, 1), padding="SAME", dtype=compute_dtype(),
                         use_bias=False, name="expand")(x)
             x = Norm("batch", name="expand_bn")(x, train)
             x = relu6(x)
             expand_out = x
         # Depthwise conv = grouped conv with feature_group_count = channels.
         ch = x.shape[-1]
-        x = nn.Conv(ch, (3, 3), strides=(self.stride, self.stride),
+        x = nn.Conv(ch, (3, 3), strides=(self.stride, self.stride), dtype=compute_dtype(),
                     padding="SAME", feature_group_count=ch, use_bias=False,
                     name="depthwise")(x)
         x = Norm("batch", name="depthwise_bn")(x, train)
         x = relu6(x)
-        x = nn.Conv(self.filters, (1, 1), padding="SAME", use_bias=False,
+        x = nn.Conv(self.filters, (1, 1), padding="SAME", use_bias=False, dtype=compute_dtype(),
                     name="project")(x)
         if in_filters == self.filters and self.stride == 1:
             x = inputs + x
@@ -82,7 +82,7 @@ class MobileNetV2Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         relu6 = activation("relu6")
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", dtype=compute_dtype(),
                     name="conv1")(x)
         x = relu6(x)
         skips = []
@@ -92,7 +92,7 @@ class MobileNetV2Encoder(nn.Module):
                 name=f"block_{i}")(x, train)
             if i in _SKIP_BLOCKS:
                 skips.append(expand_out)
-        x = nn.Conv(1280, (1, 1), use_bias=False, name="conv_2")(x)
+        x = nn.Conv(1280, (1, 1), use_bias=False, dtype=compute_dtype(), name="conv_2")(x)
         x = relu6(x)
         skips.append(x)  # out_relu tap
         return skips
@@ -109,7 +109,7 @@ class _Upsample(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.ConvTranspose(
             self.filters, (3, 3), strides=(2, 2), padding="SAME",
-            use_bias=False, kernel_init=nn.initializers.normal(0.02),
+            use_bias=False, dtype=compute_dtype(), kernel_init=nn.initializers.normal(0.02),
             name="t_conv")(x)
         x = Norm("batch", name="bn")(x, train)
         if self.apply_dropout:
@@ -136,6 +136,6 @@ class MobileUNet(nn.Module):
             y = _Upsample(filters, drop, name=f"decoder_up_{i}")(y, train)
             y = jnp.concatenate([y, skip], axis=-1)
         logits = nn.ConvTranspose(
-            self.num_classes, (3, 3), strides=(2, 2), padding="SAME",
+            self.num_classes, (3, 3), strides=(2, 2), padding="SAME", dtype=compute_dtype(),
             name="decoder_head")(y)
         return nn.softmax(logits, axis=-1)

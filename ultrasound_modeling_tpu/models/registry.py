@@ -37,8 +37,9 @@ def build_model(cfg: ModelConfig):
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter
         return SwinSegmenter(
             num_classes=cfg.num_classes, img_size=tuple(cfg.img_size),
-            embed_dim=cfg.swin_embed_dim, window=tuple(cfg.window),
-            drop_path_rate=cfg.drop_path_rate)
+            embed_dim=cfg.swin_embed_dim, depths=tuple(cfg.swin_depths),
+            num_heads=tuple(cfg.swin_heads), window=tuple(cfg.window),
+            drop_path_rate=cfg.drop_path_rate, attn_impl=cfg.swin_attn_impl)
     if name == "mobileunet":
         from ultrasound_modeling_tpu.models.mobileunet import MobileUNet
         return MobileUNet(num_classes=cfg.num_classes)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ultrasound_modeling_tpu.models.common import conv_transpose, dense
+from ultrasound_modeling_tpu.models.common import compute_dtype, conv_transpose, dense
 from ultrasound_modeling_tpu.ops import window_attn as wa
 
 SWIN_LN_EPS = 1e-5  # reference: SwinTransformer.py:179
@@ -78,17 +78,22 @@ class DropPath(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """Window MSA with relative-position bias (reference: SwinTransformer.py:60-133)."""
+    """Window MSA with relative-position bias (reference: SwinTransformer.py:60-133).
+
+    ``attn_impl``: 'xla' (composed ops, ops.window_attn) or 'pallas' (the
+    fused VMEM-resident kernel, ops.pallas_kernels.window_attention_fused) —
+    both share the same parameters and are equivalence-tested.
+    """
 
     dim: int
     window: Tuple[int, int]
     num_heads: int
     qkv_bias: bool = True
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x_windows, mask: Optional[jnp.ndarray] = None):
         wh, ww = self.window
-        n = wh * ww
         table = self.param(
             "relative_position_bias_table", nn.initializers.zeros,
             ((2 * wh - 1) * (2 * ww - 1), self.num_heads))
@@ -97,9 +102,17 @@ class WindowAttention(nn.Module):
                          (self.dim, 3 * self.dim))
         qkv_b = (self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,))
                  if self.qkv_bias else None)
+        proj_w = self.param("proj_kernel", nn.initializers.glorot_uniform(),
+                            (self.dim, self.dim))
+        proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
+        if self.attn_impl == "pallas":
+            from ultrasound_modeling_tpu.ops import pallas_kernels as pk
+            return pk.window_attention_fused(
+                x_windows, qkv, qkv_b, proj_w, proj_b, table, rel_index,
+                self.num_heads, mask=mask)
         ctx = wa.window_attention(x_windows, qkv, qkv_b, table, rel_index,
                                   self.num_heads, mask=mask)
-        return dense(self.dim, name="proj")(ctx)
+        return ctx @ proj_w + proj_b
 
 
 class SwinBlock(nn.Module):
@@ -112,6 +125,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -124,7 +138,7 @@ class SwinBlock(nn.Module):
             window, shift = (m, m), 0
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=SWIN_LN_EPS, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=SWIN_LN_EPS, dtype=compute_dtype(), name="norm1")(x)
         x = x.reshape(b, h, w, c)
         x = _pad_hw(x, window[0], window[1])
         hp, wp = x.shape[1], x.shape[2]
@@ -137,6 +151,7 @@ class SwinBlock(nn.Module):
 
         windows = wa.window_partition(x, window)
         attn = WindowAttention(self.dim, window, self.num_heads,
+                               attn_impl=self.attn_impl,
                                name="attn")(windows, mask)
         x = wa.window_reverse(attn, window, hp, wp)
 
@@ -146,7 +161,7 @@ class SwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path_rate,
                                 name="drop_path1")(x, train)
-        y = nn.LayerNorm(epsilon=SWIN_LN_EPS, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=SWIN_LN_EPS, dtype=compute_dtype(), name="norm2")(x)
         y = dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = dense(self.dim, name="mlp_fc2")(y)
@@ -171,7 +186,7 @@ class PatchMerging(nn.Module):
             x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :],
             x[:, 0::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1)
         x = x.reshape(b, (hp // 2) * (wp // 2), 4 * c)
-        x = nn.LayerNorm(epsilon=SWIN_LN_EPS, name="norm")(x)
+        x = nn.LayerNorm(epsilon=SWIN_LN_EPS, dtype=compute_dtype(), name="norm")(x)
         return dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -192,17 +207,18 @@ class SwinBackbone(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
     patch_norm: bool = True
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         # Patch embed (reference: SwinTransformer.py:340-369).
-        x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
+        x = nn.Conv(self.embed_dim, dtype=compute_dtype(), kernel_size=self.patch_size,
                     strides=self.patch_size, padding="VALID", name="proj")(x)
         res = (x.shape[1], x.shape[2])
         x = x.reshape(b, res[0] * res[1], self.embed_dim)
         if self.patch_norm:
-            x = nn.LayerNorm(epsilon=SWIN_LN_EPS, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=SWIN_LN_EPS, dtype=compute_dtype(), name="patch_norm")(x)
 
         total_depth = sum(self.depths)
         dpr = np.linspace(0.0, self.drop_path_rate, total_depth)
@@ -215,6 +231,7 @@ class SwinBackbone(nn.Module):
                 shift = 0 if d % 2 == 0 else min(self.window) // 2
                 x = SwinBlock(dim, res, heads, self.window, shift,
                               self.mlp_ratio, float(dpr[blk]),
+                              attn_impl=self.attn_impl,
                               name=f"layer{i}_block{d}")(x, train)
                 blk += 1
             if i < len(self.depths) - 1:
@@ -222,7 +239,7 @@ class SwinBackbone(nn.Module):
                 resolutions.append(res)
                 x = PatchMerging(dim, res, name=f"layer{i}_downsample")(x)
                 res = merged_resolution(res)
-        x = nn.LayerNorm(epsilon=SWIN_LN_EPS, name="norm")(x)
+        x = nn.LayerNorm(epsilon=SWIN_LN_EPS, dtype=compute_dtype(), name="norm")(x)
         final = x.reshape(b, res[0], res[1], -1)
         return final, features
 
@@ -238,13 +255,15 @@ class SwinSegmenter(nn.Module):
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     window: Tuple[int, int] = (4, 5)
     drop_path_rate: float = 0.1
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         final, features = SwinBackbone(
             self.img_size, (4, 4), self.embed_dim, self.depths,
             self.num_heads, self.window,
-            drop_path_rate=self.drop_path_rate, name="backbone")(x, train)
+            drop_path_rate=self.drop_path_rate, attn_impl=self.attn_impl,
+            name="backbone")(x, train)
         y = final
         for i, skip in enumerate(reversed(features)):
             ch = skip.shape[-1]
@@ -252,7 +271,7 @@ class SwinSegmenter(nn.Module):
             # Crop any merge padding back to the skip resolution.
             y = y[:, :skip.shape[1], :skip.shape[2], :]
             y = jnp.concatenate([y, skip], axis=-1)
-            y = nn.Conv(ch, (3, 3), padding="SAME", name=f"fuse_{i}")(y)
+            y = nn.Conv(ch, (3, 3), padding="SAME", dtype=compute_dtype(), name=f"fuse_{i}")(y)
             y = nn.gelu(y, approximate=False)
         # Back to full resolution: patch embed was 4x -> two 2x upsamples.
         y = conv_transpose(max(self.embed_dim // 2, 32), 3, 2, name="up_final1")(y)

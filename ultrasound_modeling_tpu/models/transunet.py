@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ultrasound_modeling_tpu.models.common import (
-    Norm, activation, conv, conv_transpose, dense)
+    Norm, activation, compute_dtype, conv, conv_transpose, dense)
 from ultrasound_modeling_tpu.models.resnest import ResNeStEncoder
 from ultrasound_modeling_tpu.ops.attention import mha
 
@@ -81,12 +81,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = x
-        x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="attention_norm")(x)
+        x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="attention_norm")(x)
         x = Attention(self.hidden_size, self.num_heads, self.dropout_rate,
                       name="attn")(x, train)
         x = x + h
         h = x
-        x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="ffn_norm")(x)
+        x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="ffn_norm")(x)
         x = Mlp(self.hidden_size, self.mlp_dim, self.dropout_rate,
                 name="ffn")(x, train)
         return x + h
@@ -132,7 +132,7 @@ class Encoder(nn.Module):
         )(self.hidden_size, self.num_heads, self.mlp_dim, self.dropout_rate,
           name="blocks")
         x, _ = scanned(x, train)
-        return nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="encoder_norm")(x)
+        return nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(x)
 
 
 class DecoderBlock(nn.Module):
@@ -160,13 +160,34 @@ class DecoderBlock(nn.Module):
         return x
 
 
+class KSACDecoderBlock(nn.Module):
+    """Alternative decoder block with kernel-sharing atrous convs
+    (reference: Decoder.py:150-176 KSACBlock): transposed-conv upsample +
+    skip concat + two KernelSharingConv layers (rates 1/2/4/8/16)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, skip: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        from ultrasound_modeling_tpu.ops.ksac import KernelSharingConv
+        x = conv_transpose(self.out_channels, 3, 2, name="up")(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        x = KernelSharingConv(self.out_channels, name="ksac_1")(x, train)
+        x = KernelSharingConv(self.out_channels, name="ksac_2")(x, train)
+        return x
+
+
 class DecoderCup(nn.Module):
-    """reference: Decoder.py:98-146."""
+    """reference: Decoder.py:98-146.  ``block_kind``: 'dilated' (DecoderBlock,
+    the default path) or 'ksac' (KSACDecoderBlock alternative)."""
 
     num_classes: int = 3
     grid: Tuple[int, int] = (16, 5)
     head_channels: int = 256
     skip_channels: Tuple[int, ...] = (256, 128, 64)
+    block_kind: str = "dilated"
 
     @nn.compact
     def __call__(self, hidden_states, features=None, train: bool = False):
@@ -177,11 +198,13 @@ class DecoderCup(nn.Module):
         x = conv(self.head_channels, 3, name="conv_more")(x)
         x = Norm("layer", name="bn1")(x, train)
         x = activation("leaky")(x)
+        block_cls = (KSACDecoderBlock if self.block_kind == "ksac"
+                     else DecoderBlock)
         for i, ch in enumerate(self.skip_channels):
             skip = None
             if features is not None and i < len(features):
                 skip = features[i]
-            x = DecoderBlock(ch, name=f"block_{i}")(x, skip, train)
+            x = block_cls(ch, name=f"block_{i}")(x, skip, train)
             # Re-concat the raw transformer hidden states, reshaped to this
             # scale (reference: Decoder.py:140-141).
             scale = 2 ** (i + 1)
@@ -207,6 +230,7 @@ class TransUNet(nn.Module):
     kpaths: int = 3
     ksize: int = 3
     dropout_rate: float = 0.0
+    decoder_kind: str = "dilated"  # 'dilated' | 'ksac'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -224,4 +248,5 @@ class TransUNet(nn.Module):
                           self.mlp_dim, self.dropout_rate,
                           name="encoder")(emb, train)
         return DecoderCup(self.num_classes, self.grid,
+                          block_kind=self.decoder_kind,
                           name="decoder")(encoded, features, train)

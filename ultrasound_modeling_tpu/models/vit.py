@@ -16,7 +16,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ultrasound_modeling_tpu.models.common import conv, dense
+from ultrasound_modeling_tpu.models.common import compute_dtype, conv, dense
 from ultrasound_modeling_tpu.models.transunet import Block, TRANSFORMER_LN_EPS
 
 
@@ -38,7 +38,7 @@ class ViTSegmenter(nn.Module):
         b = x.shape[0]
         # Patch-conv embedding (reference: TBI_Transformer.py:103-105).
         emb = nn.Conv(self.hidden_size, kernel_size=patch, strides=patch,
-                      padding="VALID",
+                      padding="VALID", dtype=compute_dtype(),
                       kernel_init=nn.initializers.he_normal(),
                       name="patch_embeddings")(x)
         emb = emb.reshape(b, gh * gw, self.hidden_size)
@@ -46,11 +46,11 @@ class ViTSegmenter(nn.Module):
         for i in range(self.num_layers):
             emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
                         self.dropout_rate, name=f"block_{i}")(emb, train)
-        emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, name="encoder_norm")(emb)
+        emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(emb)
         # Reshape the sequence buffer back onto the image plane
         # (reference: TBI_Transformer.py:188-189): 160*1280 = 256*80*10.
         feat = emb.reshape(b, h, w, -1)
-        logits = nn.Conv(self.num_classes, kernel_size=(3, 3), padding="SAME",
+        logits = nn.Conv(self.num_classes, kernel_size=(3, 3), padding="SAME", dtype=compute_dtype(),
                          kernel_init=nn.initializers.normal(0.05),
                          name="head")(feat)
         return nn.softmax(logits, axis=-1)

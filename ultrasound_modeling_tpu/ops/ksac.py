@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,12 +70,15 @@ def ksac_shared_taps(x: jnp.ndarray, kernel: jnp.ndarray,
 
     outs = []
     cy, cx = kh // 2, kw // 2
+    # SAME dilated cross-correlation: out[p] = sum_ij x[p + (i-c)*r] K[ij]
+    #                                        = sum_ij v_ij[p + (i-c)*r]
+    # i.e. v_ij shifted by -(i-c)*r under _shift2d's out[p] = v[p - d].
     for r in rates:
         acc = jnp.zeros((n, h, w, cout), dtype=v.dtype)
         for i in range(kh):
             for j in range(kw):
-                dy = (i - cy) * r
-                dx = (j - cx) * r
+                dy = (cy - i) * r
+                dx = (cx - j) * r
                 acc = acc + _shift2d(v[:, :, :, i * kw + j, :], dy, dx)
         outs.append(acc)
     return tuple(outs)
@@ -87,3 +91,34 @@ def ksac(x: jnp.ndarray, kernel: jnp.ndarray, rates: Sequence[int],
     if impl == "naive":
         return ksac_naive(x, kernel, rates)
     raise ValueError(f"unknown ksac impl {impl!r}")
+
+
+class KernelSharingConv(nn.Module):
+    """Kernel-sharing atrous conv layer (reference: Decoder.py:294-346).
+
+    One shared ``[k, k, Cin, Cout]`` kernel evaluated at all dilation rates
+    (default (1, 2, 4, 8, 16) — Decoder.py:295), each rate BatchNorm'd and
+    GELU'd (Decoder.py:332-345), then SUMMED across rates.  (The reference's
+    KSACBlock stacks the per-rate list into a 5-D tensor and feeds it to a
+    2-D conv — dead/broken code, SURVEY.md §2.12; summation is the KSAC
+    paper's semantics and the evident intent.)
+    """
+
+    features: int
+    kernel_size: int = 3
+    rates: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    impl: str = "shared"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ultrasound_modeling_tpu.models.common import Norm
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features))
+        ys = ksac(x, kernel.astype(x.dtype), self.rates, self.impl)
+        out = None
+        for r, y in zip(self.rates, ys):
+            y = Norm("batch", name=f"bn_r_{r}")(y, train)
+            y = nn.gelu(y, approximate=False)
+            out = y if out is None else out + y
+        return out

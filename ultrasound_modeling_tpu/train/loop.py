@@ -36,6 +36,9 @@ class Trainer:
                  checkpointer=None):
         self.cfg = cfg
         self.dataset = dataset
+        if cfg.model.compute_dtype != "float32":
+            from ultrasound_modeling_tpu.models import common as model_common
+            model_common.set_compute_dtype(cfg.model.compute_dtype)
         self.model = model if model is not None else build_model(cfg.model)
         self.mesh = mesh
         self.logger = logger or MetricLogger()
@@ -46,7 +49,11 @@ class Trainer:
         clip = tc.clip_global_norm if tc.loss != "class_balanced" else None
         # (the standalone ResNeSt U-Net applies no clipping —
         #  reference: TBI_ResNest.py:43-46)
-        self.tx = optim.make_direction(clip_norm=clip)
+        if cfg.model.name == "mobileunet":
+            # dual Adam rates, beta1 0.5 (reference: TBIPixelCNN.py:256-257)
+            self.tx = optim.make_dual_rate_direction()
+        else:
+            self.tx = optim.make_direction(clip_norm=clip)
         self.schedule = optim.piecewise_constant(
             tc.learning_rate, tc.lr_boundaries, tc.lr_values)
         self.plateau_scale = 1.0
@@ -54,7 +61,8 @@ class Trainer:
         self.train_step = step_mod.make_train_step(
             self.model, self.loss_fn, self.tx,
             num_classes=cfg.model.num_classes,
-            augment=cfg.data.augment, flip=cfg.data.aug_flip)
+            augment=cfg.data.augment, flip=cfg.data.aug_flip,
+            l2_scale=tc.l2_regularization)
         self.eval_step = step_mod.make_eval_step(
             self.model, self.loss_fn, num_classes=cfg.model.num_classes)
 
@@ -95,8 +103,18 @@ class Trainer:
                 self.logger.scalars(self.iteration,
                                     {"train_loss": float(loss),
                                      "lr": self.current_lr()})
+            if tc.image_every and self.iteration % tc.image_every == 0:
+                # pred|truth panels (reference cadence: MainNumpy.py:54-60)
+                import numpy as _np
+                from ultrasound_modeling_tpu.data import labels as _labels
+                self.logger.images(
+                    self.iteration, "train", _np.asarray(probs[0]),
+                    _np.asarray(_labels.label2vec(
+                        y[0], self.cfg.model.num_classes)))
             if terminator:
                 break
+        # Force the async stream to drain before timing the epoch (device
+        # dispatch is asynchronous; float() pulls the scalar to host).
         last_loss = float(loss)
         dt = time.time() - t0
         fps = n_iters * tc.batch_size / max(dt, 1e-9)

@@ -104,6 +104,20 @@ def evaluator_loss(y_true: jnp.ndarray, probs: jnp.ndarray,
     return -3.0 * ce
 
 
+def l2_regularization(params, scale: float = 1e-5) -> jnp.ndarray:
+    """Keras-style L2 kernel regularization summed into the loss
+    (reference: TBI_Transformer.py:11 ``L2(l2=1e-5)`` on dense/conv kernels,
+    added to the loss at TBI_Transformer.py:234 ``sum(model.losses)``).
+    Applies to 'kernel' leaves only (not biases/norm scales), like Keras."""
+    total = 0.0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name == "kernel":
+            total = total + jnp.sum(jnp.square(leaf))
+    return scale * total
+
+
 LOSSES = {
     "cce_smooth": cce_smooth,
     "class_balanced": class_balanced,

@@ -68,26 +68,29 @@ def make_optimizer(learning_rate: float | Callable,
     return optax.chain(*parts)
 
 
-def make_dual_rate_optimizer(encoder_lr: float = 2e-4,
-                             decoder_lr: float = 2e-3,
-                             b1: float = 0.5,
+def make_dual_rate_direction(encoder_ratio: float = 0.1, b1: float = 0.5,
                              encoder_prefix: str = "encoder"
                              ) -> optax.GradientTransformation:
-    """MobileUNet dual-Adam (reference: TBIPixelCNN.py:256-257,290-298):
-    parameters whose top-level collection starts with ``encoder_prefix`` get
-    the slower rate."""
+    """MobileUNet dual-Adam direction (reference: TBIPixelCNN.py:256-257,
+    290-298): encoder params train at ``encoder_ratio`` x the decoder rate
+    (2e-4 vs 2e-3 in the reference), both with beta1 = 0.5.  Composes with
+    the runtime-lr step: the step's lr is the decoder rate.
+
+    Parameters under the ``encoder_prefix`` top-level module get the ratio.
+    """
+    import jax
 
     def label_fn(params):
-        import jax
         return jax.tree_util.tree_map_with_path(
             lambda path, _: "encoder"
-            if any(encoder_prefix in str(getattr(k, "key", "")) for k in path)
+            if str(getattr(path[0], "key", path[0])).startswith(encoder_prefix)
             else "decoder",
             params)
 
     return optax.multi_transform(
-        {"encoder": optax.adam(encoder_lr, b1=b1),
-         "decoder": optax.adam(decoder_lr, b1=b1)},
+        {"encoder": optax.chain(optax.scale_by_adam(b1=b1),
+                                optax.scale(encoder_ratio)),
+         "decoder": optax.scale_by_adam(b1=b1)},
         label_fn)
 
 

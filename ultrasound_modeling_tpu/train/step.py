@@ -65,14 +65,16 @@ def _apply(model, params, batch_stats, x, train: bool, dropout_rng):
     if train and batch_stats:
         probs, updates = model.apply(variables, x, True,
                                      mutable=["batch_stats"], **kwargs)
-        return probs, updates["batch_stats"]
+        return probs.astype(jnp.float32), updates["batch_stats"]
     probs = model.apply(variables, x, train, **kwargs)
-    return probs, batch_stats
+    # Losses/metrics always run in float32 even under a bfloat16 compute path.
+    return probs.astype(jnp.float32), batch_stats
 
 
 def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
                     num_classes: int = 3, augment: bool = True,
-                    flip: bool = False, donate: bool = True):
+                    flip: bool = False, donate: bool = True,
+                    l2_scale: float = 0.0):
     """Build the fused train step:
     ``(state, x, y_scalar, lr) -> (state, loss, probs)``.
 
@@ -99,7 +101,13 @@ def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
         def loss_of(params):
             probs, new_stats = _apply(model, params, state.batch_stats, x,
                                       True, dropout_rng)
-            return loss_fn(y, probs), (probs, new_stats)
+            loss = loss_fn(y, probs)
+            if l2_scale:
+                # Keras-style L2 kernel regularization summed into the loss
+                # (reference: TBI_Transformer.py:11,234).
+                from ultrasound_modeling_tpu.train.losses import l2_regularization
+                loss = loss + l2_regularization(params, l2_scale)
+            return loss, (probs, new_stats)
 
         (loss, (probs, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)

@@ -31,6 +31,63 @@ except Exception:  # pragma: no cover
 from flax import serialization
 
 
+def flatten_params(params, prefix: str = ""):
+    """Flatten a param pytree to {'a/b/c': array} with '/'-joined keys."""
+    import jax.tree_util as jtu
+    flat = {}
+    for path, leaf in jtu.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        flat[prefix + key] = leaf
+    return flat
+
+
+def save_params_npz(params, path: str) -> None:
+    """Write params as an .npz of '/'-joined names (the portable exchange
+    format; a converter from the reference's released TF checkpoints —
+    reference: SwinTransformer.py:461-486 — would emit this)."""
+    import numpy as np
+    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+    np.savez(path, **flat)
+
+
+def load_params_npz(params, path: str, strict: bool = False):
+    """Merge an .npz of '/'-joined names into a param pytree (shape-checked).
+
+    Returns (new_params, loaded_keys, missing_keys).  This is the pretrained
+    -weight load path: the reference downloads TF Swin weights at model build
+    (reference: SwinTransformer.py:469-484); this framework loads from a local
+    npz instead (no-egress environments) with explicit reporting.
+    """
+    import jax.tree_util as jtu
+    import numpy as np
+
+    archive = dict(np.load(path))
+    loaded, missing = [], []
+
+    flat_with_path = jtu.tree_flatten_with_path(params)
+    treedef = flat_with_path[1]
+    new_leaves = []
+    for p, leaf in flat_with_path[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in p)
+        if key in archive:
+            arr = archive[key]
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: ckpt {arr.shape} vs "
+                    f"model {leaf.shape}")
+            new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+            loaded.append(key)
+        else:
+            missing.append(key)
+            new_leaves.append(leaf)
+    if strict and missing:
+        raise KeyError(f"{len(missing)} params missing from {path}: "
+                       f"{missing[:5]}...")
+    return jtu.tree_unflatten(treedef, new_leaves), loaded, missing
+
+
 class Checkpointer:
     def __init__(self, directory: str, max_to_keep: int = 3,
                  use_orbax: Optional[bool] = None):

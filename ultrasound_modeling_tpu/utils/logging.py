@@ -19,13 +19,18 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, log_dir: Optional[str] = None, echo: bool = True):
+    def __init__(self, log_dir: Optional[str] = None, echo: bool = True,
+                 tensorboard: bool = True):
         self.log_dir = log_dir
         self.echo = echo
         self._fh = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._fh = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+            if tensorboard:
+                from ultrasound_modeling_tpu.utils.tb_writer import EventWriter
+                self._tb = EventWriter(log_dir)
 
     def scalars(self, step: int, values: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -33,6 +38,8 @@ class MetricLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            self._tb.scalars(int(step), rec)
         if self.echo:
             body = ", ".join(f"{k}={v:.5g}" for k, v in values.items())
             print(f"[step {step}] {body}")
@@ -62,3 +69,6 @@ class MetricLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None

@@ -1,0 +1,127 @@
+"""Minimal TensorBoard event writer — no TensorFlow dependency.
+
+The reference logs scalars/images via ``tf.summary.create_file_writer``
+(reference: MainNumpy.py:16-17,124-133, TBIPixelCNN.py:253-254).  This module
+writes TensorBoard-compatible ``events.out.tfevents.*`` files directly:
+hand-encoded Event protobufs in TFRecord framing (length + masked CRC32C),
+which is all TensorBoard's loader requires.
+
+Wire format (protobuf, proto3):
+  Event    { 1: wall_time (double); 2: step (int64); 5: summary (Summary) }
+  Summary  { 1: repeated Value }
+  Value    { 1: tag (string); 2: simple_value (float) }
+TFRecord  = u64le(len) + masked_crc(len_bytes) + payload + masked_crc(payload)
+masked_crc(x) = rotr15(crc32c(x)) + 0xa282ead8  (mod 2^32)
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+from typing import Dict
+
+# -- crc32c (Castagnoli), table-driven --------------------------------------
+
+_CRC_TABLE = []
+
+
+def _build_table():
+    poly = 0x82F63B78
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        _CRC_TABLE.append(c)
+
+
+_build_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# -- minimal protobuf encoding ----------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _f_double(field: int, v: float) -> bytes:
+    return _tag(field, 1) + struct.pack("<d", v)
+
+
+def _f_float(field: int, v: float) -> bytes:
+    return _tag(field, 5) + struct.pack("<f", v)
+
+
+def _f_varint(field: int, v: int) -> bytes:
+    return _tag(field, 0) + _varint(v)
+
+
+def _f_bytes(field: int, v: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(v)) + v
+
+
+def _scalar_event(tag: str, value: float, step: int,
+                  wall_time: float) -> bytes:
+    val = _f_bytes(1, tag.encode()) + _f_float(2, float(value))
+    summary = _f_bytes(1, val)
+    return (_f_double(1, wall_time) + _f_varint(2, step)
+            + _f_bytes(5, summary))
+
+
+def _file_version_event(wall_time: float) -> bytes:
+    # Event.file_version is field 3 (string).
+    return _f_double(1, wall_time) + _f_bytes(3, b"brain.Event:2")
+
+
+class EventWriter:
+    """Append-only TensorBoard events file."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        fname = (f"events.out.tfevents.{int(time.time())}."
+                 f"{socket.gethostname()}")
+        self._fh = open(os.path.join(log_dir, fname), "ab")
+        self._write_record(_file_version_event(time.time()))
+
+    def _write_record(self, payload: bytes) -> None:
+        header = struct.pack("<Q", len(payload))
+        self._fh.write(header)
+        self._fh.write(struct.pack("<I", _masked_crc(header)))
+        self._fh.write(payload)
+        self._fh.write(struct.pack("<I", _masked_crc(payload)))
+        self._fh.flush()
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        self._write_record(_scalar_event(tag, value, step, time.time()))
+
+    def scalars(self, step: int, values: Dict[str, float]) -> None:
+        for k, v in values.items():
+            self.scalar(k, v, step)
+
+    def close(self) -> None:
+        self._fh.close()
