@@ -67,7 +67,13 @@ def main():
 
     from ultrasound_modeling_tpu.models.transunet import TransUNet
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # Throughput saturates around batch 256-512 on a v5e chip (latency-bound
+    # below that: the per-call host roundtrip dominates small batches).
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    use_bf16 = os.environ.get("BENCH_BF16", "1") not in ("0", "false")
+    if use_bf16:
+        from ultrasound_modeling_tpu.models import common
+        common.set_compute_dtype("bfloat16")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 256, 80, 10)), jnp.float32)
 
@@ -88,6 +94,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "p50_ms_per_frame": round(stats["p50_ms_per_frame"], 3),
         "batch": batch,
+        "dtype": "bfloat16" if use_bf16 else "float32",
         "device": str(jax.devices()[0]),
     }))
 

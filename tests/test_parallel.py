@@ -63,10 +63,20 @@ def test_sharded_step_matches_single_device():
 
     np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
     # Parameters after one step agree (gradient all-reduce path correct).
+    # Tolerance note: psum reduction order differs from a single-device sum;
+    # on near-zero gradients Adam's g/sqrt(v) direction can flip sign under
+    # that noise, moving a parameter by up to 2*lr — so the bound is 2*lr
+    # plus slack, and we additionally require <0.5% of params to be affected.
     l1 = jax.tree.leaves(jax.device_get(s1.params))
     l8 = jax.tree.leaves(jax.device_get(s8.params))
+    lr = 1e-3
+    n_bad = 0
+    n_total = 0
     for a, b in zip(l1, l8):
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(a, b, atol=2.2 * lr)
+        n_bad += int(np.sum(np.abs(a - b) > 1e-4))
+        n_total += a.size
+    assert n_bad / n_total < 0.005, (n_bad, n_total)
 
 
 def test_batch_sharding_layout():

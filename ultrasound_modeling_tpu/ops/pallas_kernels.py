@@ -59,8 +59,9 @@ def _window_attn_kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
     qkv = qkv + qkv_b_ref[:]
     qkv = qkv.reshape(t, n, 3, num_heads, d)
 
-    out = jnp.zeros((t, n, c), jnp.float32)
     # Static loop over heads; per head a batched [T, N, d] attention.
+    # (concatenate instead of scatter-set: Mosaic has no scatter lowering)
+    head_outs = []
     for h in range(num_heads):
         q = qkv[:, :, 0, h, :] * scale          # [T, N, d]
         k = qkv[:, :, 1, h, :]
@@ -75,7 +76,8 @@ def _window_attn_kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
         ctx = jax.lax.dot_general(
             probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # [T, N, d]
-        out = out.at[:, :, h * d:(h + 1) * d].set(ctx)
+        head_outs.append(ctx)
+    out = jnp.concatenate(head_outs, axis=-1)    # [T, N, C]
 
     # Output projection, again one MXU matmul.
     y = jnp.dot(out.reshape(t * n, c), proj_w_ref[:],
