@@ -102,6 +102,31 @@ def test_noise_magnitude(rng):
     assert abs(noisy.std() - 1 / 5000) < 1e-4
 
 
+def test_contrast_stretch_range_and_mask(rng):
+    img = rng.normal(size=(H, W, C)).astype(np.float32) * 3 + 1
+    mask = np.zeros((H, W), np.float32)
+    mask[4:28, 4:16] = 1.0
+    out = np.asarray(augment.contrast_stretch(jnp.asarray(img),
+                                              jnp.asarray(mask)))
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    assert np.all(out[mask < 0.1] == 0.0)
+
+
+def test_rotate_small_identity_and_mass(rng):
+    label = np.zeros((H, W), np.float32)
+    label[10:20, 6:14] = 1.0
+    image = np.broadcast_to(label[..., None], (H, W, C)).copy()
+    # zero angle = identity
+    im0, lb0 = augment.rotate_small(jnp.asarray(image), jnp.asarray(label),
+                                    jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(lb0), label, atol=1e-6)
+    # small angle roughly preserves mass
+    im2, lb2 = augment.rotate_small(jnp.asarray(image), jnp.asarray(label),
+                                    jnp.asarray(2.0))
+    assert abs(float(np.asarray(lb2).sum()) - label.sum()) / label.sum() < 0.05
+    assert not np.allclose(np.asarray(lb2), label)
+
+
 def test_augment_batch_shapes_and_determinism(rng):
     images = rng.normal(size=(4, 256, 80, 10)).astype(np.float32)
     labels = rng.uniform(0, 2, size=(4, 256, 80)).astype(np.float32)

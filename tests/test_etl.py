@@ -23,10 +23,13 @@ def _fake_mat(path, n_cycles=2, with_bleed=True):
     savemat(path, {
         "normalMask": normal.astype(float),
         "bloodMask": (blood if with_bleed else np.zeros_like(blood)).astype(float),
+        "bloodMaskThick": blood.astype(float),
         "brainMask": brain.astype(float),
         "bModeNorm": rng.uniform(0.5, 2.0, size=(H_RAW, W_RAW, n_cycles)),
         "displacement": rng.normal(size=(H_RAW, W_RAW, n_frames)),
         "hrTimes": np.arange(n_cycles + 1, dtype=float).reshape(1, -1) * 0.4,
+        "harmonics": (rng.normal(size=(H_RAW, W_RAW, 8))
+                      + 1j * rng.normal(size=(H_RAW, W_RAW, 8))),
     })
 
 
@@ -65,6 +68,27 @@ def test_normalize_displacement():
     # zero-channel safety
     z = np.zeros((4, 4, 2))
     assert np.all(etl.normalize_displacement(z) == 0)
+
+
+def test_iph_objective(tmp_path):
+    path = str(tmp_path / "p.mat")
+    _fake_mat(path, n_cycles=1)
+    samples = etl.process_mat_file(path, objective="iph")
+    assert len(samples) == 1
+    label = samples[0][..., 0]
+    # label = bloodMaskThick + 1 inside brain (1 or 2), 0 outside.
+    assert label.max() > 1.5 and label.min() == 0.0
+    # non-brain input zeroed
+    assert np.all(samples[0][..., 1:11][label < 0.05] == 0)
+
+
+def test_fetch_time_data(tmp_path):
+    path = str(tmp_path / "p.mat")
+    _fake_mat(path, n_cycles=1)
+    out = etl.fetch_time_data(path)
+    assert out.shape == (256, 80, 4)
+    assert np.isfinite(out).all()
+    assert np.abs(out[..., 1:]).max() <= 1.0 + 1e-5
 
 
 def test_run_etl_fold_split(tmp_path):

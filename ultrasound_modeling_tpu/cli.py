@@ -39,6 +39,12 @@ def _add_common(p):
                    help="data-parallel devices (default: all)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay float32)")
+    p.add_argument("--config", default=None,
+                   help="TOML config file (overrides per-family defaults)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint from --ckpt")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
 
 
 def build_dataset(cfg, args):
@@ -55,8 +61,11 @@ def build_dataset(cfg, args):
 
 def build_config(args):
     import dataclasses as dc
-    from ultrasound_modeling_tpu.config import default_config
-    cfg = default_config(args.model)
+    from ultrasound_modeling_tpu.config import default_config, from_toml
+    if getattr(args, "config", None):
+        cfg = from_toml(args.config)
+    else:
+        cfg = default_config(args.model)
     model = dc.replace(cfg.model, num_classes=args.num_classes)
     if getattr(args, "bf16", False):
         model = dc.replace(model, compute_dtype="bfloat16")
@@ -82,11 +91,20 @@ def cmd_train(args):
     ckpt = Checkpointer(args.ckpt) if args.ckpt else None
     trainer = Trainer(cfg, ds, mesh=mesh,
                       logger=MetricLogger(args.log_dir), checkpointer=ckpt)
+    if args.resume and ckpt is not None and ckpt.latest_step() is not None:
+        trainer.state = ckpt.restore(trainer.state)
+        trainer.iteration = int(trainer.state.step)
+        print(f"resumed from step {trainer.iteration}")
     if args.epochs:
         import dataclasses as dc
         trainer.cfg = cfg.replace(train=dc.replace(cfg.train,
                                                    epochs=args.epochs))
-    summary = trainer.fit(args.epochs)
+    if args.profile:
+        from ultrasound_modeling_tpu.utils.profiling import trace
+        with trace(args.profile):
+            summary = trainer.fit(args.epochs)
+    else:
+        summary = trainer.fit(args.epochs)
     print({k: round(v, 5) for k, v in summary.items()})
 
 
@@ -140,7 +158,8 @@ def cmd_infer(args):
 
 def cmd_etl(args):
     from ultrasound_modeling_tpu.data.etl import run_etl
-    run_etl(args.raw, args.out, args.objective, max_workers=args.workers)
+    objective = args.objective if args.objective == "iph" else int(args.objective)
+    run_etl(args.raw, args.out, objective, max_workers=args.workers)
 
 
 def cmd_bench(args):
@@ -173,7 +192,8 @@ def main(argv=None):
     p = sub.add_parser("etl")
     p.add_argument("--raw", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--objective", type=int, default=1, choices=[0, 1])
+    p.add_argument("--objective", default="1", choices=["0", "1", "iph"],
+                   help="0=brainMask, 1=bleed, iph=pizza_IPH subset")
     p.add_argument("--workers", type=int, default=4)
     p.set_defaults(fn=cmd_etl)
 
