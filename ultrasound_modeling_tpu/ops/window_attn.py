@@ -62,13 +62,15 @@ def shifted_window_mask(h: int, w: int, window: Tuple[int, int],
     """Static additive mask ``[num_windows, N, N]`` with -100 for pairs in
     different pre-shift regions (reference: SwinTransformer.py:189-214)."""
     wh, ww = window
-    img = np.zeros((1, h, w, 1), np.float32)
+    img = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -wh), slice(-wh, -shift), slice(-shift, None)):
         for ws in (slice(0, -ww), slice(-ww, -shift), slice(-shift, None)):
-            img[:, hs, ws, :] = cnt
+            img[hs, ws] = cnt
             cnt += 1
-    windows = np.asarray(window_partition(jnp.asarray(img), window))
+    # pure-NumPy window partition (this function must stay trace-free: it is
+    # called at trace time inside jitted model code with static shapes)
+    windows = img.reshape(h // wh, wh, w // ww, ww).transpose(0, 2, 1, 3)
     windows = windows.reshape(-1, wh * ww)
     mask = windows[:, None, :] - windows[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
