@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--n-test", type=int, default=32)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--loss", default=None,
+                    help="override loss family (e.g. factor_scaled)")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -42,11 +44,12 @@ def main():
     model_cfg = cfg.model
     if args.bf16:
         model_cfg = dc.replace(model_cfg, compute_dtype="bfloat16")
-    cfg = cfg.replace(
-        model=model_cfg,
-        train=dc.replace(cfg.train, batch_size=args.batch,
-                         eval_every_epochs=max(1, args.epochs // 4),
-                         epochs=args.epochs))
+    train_cfg = dc.replace(cfg.train, batch_size=args.batch,
+                           eval_every_epochs=max(1, args.epochs // 4),
+                           epochs=args.epochs)
+    if args.loss:
+        train_cfg = dc.replace(train_cfg, loss=args.loss)
+    cfg = cfg.replace(model=model_cfg, train=train_cfg)
     h, w = cfg.model.img_size
     ds = Dataset.synthetic(n_train=args.n_train, n_test=args.n_test,
                            height=h, width=w, n_disp=cfg.model.in_channels)

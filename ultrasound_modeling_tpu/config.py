@@ -97,6 +97,9 @@ class ModelConfig:
     dropout_rate: float = 0.0
     # Numerics: compute dtype for the forward pass; params stay f32.
     compute_dtype: str = "float32"
+    # Rematerialize transformer blocks in the backward pass (memory-bound
+    # big-batch training).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,7 +22,7 @@ def build_model(cfg: ModelConfig):
             num_heads=cfg.num_heads, num_layers=cfg.num_layers,
             mlp_dim=cfg.mlp_dim, grid=tuple(cfg.grid), radix=cfg.radix,
             kpaths=cfg.kpaths, ksize=cfg.ksize,
-            dropout_rate=cfg.dropout_rate)
+            dropout_rate=cfg.dropout_rate, remat=cfg.remat)
     if name == "resnest_unet":
         from ultrasound_modeling_tpu.models.resnest import ResNeStUNet
         return ResNeStUNet(num_classes=cfg.num_classes, ksize=cfg.ksize,

@@ -120,11 +120,18 @@ class Encoder(nn.Module):
     num_layers: int = 8
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = _ScanBlock
+        if self.remat:
+            # scan-over-remat: activations rematerialized per layer in the
+            # backward pass — trades ~1 extra forward of FLOPs for O(1)
+            # stored activations per layer (HBM-bound big-batch training).
+            block_cls = nn.remat(_ScanBlock, static_argnums=(2,))
         scanned = nn.scan(
-            _ScanBlock,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,
@@ -231,6 +238,7 @@ class TransUNet(nn.Module):
     ksize: int = 3
     dropout_rate: float = 0.0
     decoder_kind: str = "dilated"  # 'dilated' | 'ksac'
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -245,7 +253,7 @@ class TransUNet(nn.Module):
         # Position embeddings: constant zeros (reference quirk,
         # VisionTransformer.py:108) — a no-op, intentionally preserved.
         encoded = Encoder(self.hidden_size, self.num_heads, self.num_layers,
-                          self.mlp_dim, self.dropout_rate,
+                          self.mlp_dim, self.dropout_rate, remat=self.remat,
                           name="encoder")(emb, train)
         return DecoderCup(self.num_classes, self.grid,
                           block_kind=self.decoder_kind,
