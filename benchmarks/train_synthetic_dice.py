@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--loss", default=None,
                     help="override loss family (e.g. factor_scaled)")
+    ap.add_argument("--scan", action="store_true",
+                    help="lax.scan'd whole-epoch device program")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -49,6 +51,8 @@ def main():
                            epochs=args.epochs)
     if args.loss:
         train_cfg = dc.replace(train_cfg, loss=args.loss)
+    if args.scan:
+        train_cfg = dc.replace(train_cfg, scan_epochs=True)
     cfg = cfg.replace(model=model_cfg, train=train_cfg)
     h, w = cfg.model.img_size
     ds = Dataset.synthetic(n_train=args.n_train, n_test=args.n_test,

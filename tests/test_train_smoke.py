@@ -39,6 +39,37 @@ def test_resnest_unet_loss_decreases():
         first_losses, last_losses)
 
 
+def test_scanned_epoch_matches_loop_losses():
+    """The lax.scan'd epoch produces the same loss sequence as the per-step
+    loop (same state, same data, augment off)."""
+    ds = Dataset.synthetic(n_train=8, n_test=2, height=64, width=64, n_disp=6)
+    model = ResNeStUNet(num_classes=3, radix=2, kpaths=2)
+    tx = optim.make_direction(clip_norm=None)
+    loss_fn = losses.class_balanced
+    sample = jnp.zeros((4, 64, 64, 6))
+    state0 = step_mod.TrainState.create(model, tx, sample,
+                                        jax.random.PRNGKey(0))
+
+    step = step_mod.make_train_step(model, loss_fn, tx, augment=False,
+                                    donate=False)
+    lr = jnp.float32(1e-3)
+    state = state0
+    loop_losses = []
+    for i in range(2):
+        x, y = ds.x_tr[i * 4:(i + 1) * 4], ds.y_tr[i * 4:(i + 1) * 4]
+        state, loss, _ = step(state, x, y, lr)
+        loop_losses.append(float(loss))
+
+    epoch = step_mod.make_epoch_step(model, loss_fn, tx, augment=False,
+                                     donate=False)
+    xs = ds.x_tr.reshape(2, 4, 64, 64, 6)
+    ys = ds.y_tr.reshape(2, 4, 64, 64)
+    state2, scan_losses = epoch(state0, xs, ys, lr)
+    np.testing.assert_allclose(np.asarray(scan_losses), loop_losses,
+                               rtol=1e-5)
+    assert int(state2.step) == 2
+
+
 def test_eval_step_metrics():
     ds = Dataset.synthetic(n_train=4, n_test=4, height=64, width=64, n_disp=6)
     model = ResNeStUNet(num_classes=3, radix=2, kpaths=2)

@@ -124,6 +124,10 @@ class TrainConfig:
     lr_floor: float = 1e-5            # stop when lr < floor (TBI_ResNest.py:391)
     l2_regularization: float = 0.0    # ViT uses 1e-5 (TBI_Transformer.py:11)
     seed: int = 0
+    # Run whole epochs as one lax.scan'd device program (zero per-step host
+    # dispatch; lr held constant within an epoch, matching the reference's
+    # per-epoch schedule reassignment — MainNumpy.py:83-88).
+    scan_epochs: bool = False
     log_every: int = 100
     image_every: int = 491            # reference: MainNumpy.py:54
     checkpoint_every_steps: int = 1000

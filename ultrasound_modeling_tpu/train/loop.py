@@ -63,6 +63,13 @@ class Trainer:
             num_classes=cfg.model.num_classes,
             augment=cfg.data.augment, flip=cfg.data.aug_flip,
             l2_scale=tc.l2_regularization)
+        self.epoch_step = None
+        if tc.scan_epochs:
+            self.epoch_step = step_mod.make_epoch_step(
+                self.model, self.loss_fn, self.tx,
+                num_classes=cfg.model.num_classes,
+                augment=cfg.data.augment, flip=cfg.data.aug_flip,
+                l2_scale=tc.l2_regularization, donate=False)
         self.eval_step = step_mod.make_eval_step(
             self.model, self.loss_fn, num_classes=cfg.model.num_classes)
 
@@ -87,7 +94,43 @@ class Trainer:
             return mesh_mod.shard_batch(self.mesh, x, y)
         return x, y
 
+    def _stack_epoch_batches(self, batch_size: int):
+        """Reshape the device-resident training set into [steps, B, ...] with
+        the reference's tail-window substitution for the remainder."""
+        ds = self.dataset
+        n_full = ds.num_tr // batch_size
+        xs = ds.x_tr[: n_full * batch_size].reshape(
+            (n_full, batch_size) + ds.x_tr.shape[1:])
+        ys = ds.y_tr[: n_full * batch_size].reshape(
+            (n_full, batch_size) + ds.y_tr.shape[1:])
+        if ds.num_tr % batch_size and ds.num_tr > batch_size:
+            import jax.numpy as _jnp
+            xs = _jnp.concatenate(
+                [xs, ds.x_tr[-1 - batch_size:-1][None]], axis=0)
+            ys = _jnp.concatenate(
+                [ys, ds.y_tr[-1 - batch_size:-1][None]], axis=0)
+        return xs, ys
+
+    def train_epoch_scanned(self, epoch: int) -> Dict[str, float]:
+        """One lax.scan'd epoch: a single device program, no per-step host
+        dispatch (see config.TrainConfig.scan_epochs)."""
+        tc = self.cfg.train
+        t0 = time.time()
+        xs, ys = self._stack_epoch_batches(tc.batch_size)
+        self.state, losses = self.epoch_step(
+            self.state, xs, ys, jnp.float32(self.current_lr()))
+        n_iters = int(xs.shape[0])
+        self.iteration += n_iters
+        last_loss = float(losses[-1])
+        dt = time.time() - t0
+        fps = n_iters * tc.batch_size / max(dt, 1e-9)
+        self.logger.scalars(self.iteration, {
+            "epoch": epoch, "epoch_loss": last_loss, "frames_per_sec": fps})
+        return {"loss": last_loss, "frames_per_sec": fps, "iters": n_iters}
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        if self.epoch_step is not None:
+            return self.train_epoch_scanned(epoch)
         tc = self.cfg.train
         t0 = time.time()
         last_loss = None

@@ -74,7 +74,7 @@ def _apply(model, params, batch_stats, x, train: bool, dropout_rng):
 def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
                     num_classes: int = 3, augment: bool = True,
                     flip: bool = False, donate: bool = True,
-                    l2_scale: float = 0.0):
+                    l2_scale: float = 0.0, jit: bool = True):
     """Build the fused train step:
     ``(state, x, y_scalar, lr) -> (state, loss, probs)``.
 
@@ -118,7 +118,39 @@ def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
                                   opt_state=new_opt, step=state.step + 1)
         return new_state, loss, probs
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
+                    num_classes: int = 3, augment: bool = True,
+                    flip: bool = False, l2_scale: float = 0.0,
+                    donate: bool = True):
+    """Whole-epoch executor: ``lax.scan`` over pre-batched data inside ONE
+    jit — zero per-step host dispatch (the device runs the entire epoch
+    autonomously).  This is the TPU-idiomatic shape for the reference's
+    small, HBM-resident datasets: the reference pays Python + host-aug per
+    batch (reference: MainNumpy.py:41-66); the per-step jit here still pays
+    one dispatch per step.
+
+    ``(state, xs, ys, lr) -> (state, losses)`` with
+    xs ``[steps, B, H, W, C]``, ys ``[steps, B, H, W]``.
+    """
+    raw_step = make_train_step(model, loss_fn, tx, num_classes, augment, flip,
+                               donate=False, l2_scale=l2_scale, jit=False)
+
+    def epoch_fn(state: TrainState, xs: jnp.ndarray, ys: jnp.ndarray,
+                 lr: jnp.ndarray):
+        def body(carry, batch):
+            x, y = batch
+            new_state, loss, _ = raw_step(carry, x, y, lr)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, (xs, ys))
+        return state, losses
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, loss_fn: Callable, num_classes: int = 3):
