@@ -66,6 +66,23 @@ def test_render_panels_writes_png(tmp_path, rng):
     assert os.path.getsize(out) > 1000
 
 
+def test_render_all_panel_types(tmp_path, rng):
+    comp = rng.uniform(0, 2, size=(32, 16)).astype(np.float32)
+    truth = rng.uniform(0, 2, size=(32, 16)).astype(np.float32)
+    mask = (truth > 0.5).astype(np.float32)
+    cm = rng.integers(0, 50, size=(3, 3))
+    out = render.render_panels(str(tmp_path / "full.png"), comp, truth,
+                               prob_bleed=comp / 2, bmode=truth, mask=mask,
+                               diff=True, confusion=cm)
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000
+
+
+def test_render_input_channels(tmp_path, rng):
+    x = rng.normal(size=(16, 8, 3)).astype(np.float32)
+    paths = render.render_input_channels(str(tmp_path / "in"), x)
+    assert len(paths) == 3 and all(os.path.isfile(p) for p in paths)
+
+
 def test_group_by_path():
     paths = np.array([["a"], ["a"], ["b"], ["c"], ["c"], ["c"]])
     groups = ev.group_by_path(paths)

@@ -92,7 +92,8 @@ class ModelConfig:
     swin_embed_dim: int = 96
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     swin_heads: Tuple[int, ...] = (3, 6, 12, 24)
-    swin_attn_impl: str = "xla"   # 'xla' | 'pallas' (fused window attention)
+    # 'auto' = fused Pallas kernel on TPU (29% model speedup), XLA elsewhere.
+    swin_attn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     drop_path_rate: float = 0.1
     dropout_rate: float = 0.0
     # Numerics: compute dtype for the forward pass; params stay f32.

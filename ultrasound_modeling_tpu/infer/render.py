@@ -38,8 +38,17 @@ def render_panels(out_path: str, prob_composite: np.ndarray,
                   truth: np.ndarray,
                   prob_bleed: Optional[np.ndarray] = None,
                   bmode: Optional[np.ndarray] = None,
+                  mask: Optional[np.ndarray] = None,
+                  diff: bool = False,
+                  confusion: Optional[np.ndarray] = None,
                   axes=None, title: str = "") -> str:
-    """Write the 2x2 polar panel PNG; returns the path."""
+    """Write the polar panel PNG (up to 6 panels in a grid); returns the path.
+
+    Panel set mirrors the reference's dispDict options
+    (reference: TBIEvaluator.py:30-38,276-355): prediction / truth /
+    bleed-probability / bMode / brain-mask / prediction-truth difference /
+    confusion matrix.
+    """
     import matplotlib
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
@@ -48,10 +57,6 @@ def render_panels(out_path: str, prob_composite: np.ndarray,
         xa, ya = default_axes(*prob_composite.shape)
     else:
         xa, ya = axes
-
-    fig, ax = plt.subplots(2, 2, figsize=(10, 6))
-    fig.tight_layout(rect=[0, 0, 1, 0.97])
-    fig.subplots_adjust(hspace=0.25, wspace=0.3, bottom=0.1)
     cmap = "magma"
 
     panels = [("Prediction", prob_composite, dict(vmin=0, vmax=2, cmap=cmap)),
@@ -65,17 +70,62 @@ def render_panels(out_path: str, prob_composite: np.ndarray,
         _, edges = np.histogram(b, bins=25)
         panels.append(("bMode", b,
                        dict(vmin=edges[2], vmax=edges[-2], cmap="binary")))
+    if mask is not None:
+        panels.append(("Brain_Mask", mask, dict(cmap=cmap)))
+    if diff:
+        # difference map (reference: TBIEvaluator.py:309-317): 1 where pred
+        # and truth disagree, (C-1) where a true bleed was missed.
+        pr = np.round(prob_composite)
+        tr = np.round(truth)
+        d = np.where(pr != tr, 1.0, 0.0)
+        d = np.where((tr == 2.0) & (pr != 2.0), 2.0, d)
+        panels.append(("Difference", d, dict(vmin=0, vmax=2, cmap=cmap)))
 
-    for i, (name, img, kw) in enumerate(panels[:4]):
+    n = len(panels) + (1 if confusion is not None else 0)
+    rows = (n + 1) // 2
+    fig, ax = plt.subplots(rows, 2, figsize=(10, 3 * rows), squeeze=False)
+    fig.tight_layout(rect=[0, 0, 1, 0.97])
+    fig.subplots_adjust(hspace=0.25, wspace=0.3, bottom=0.1)
+
+    for i, (name, img, kw) in enumerate(panels):
         a = ax[i // 2, i % 2]
         a.grid(False)
         a.pcolormesh(xa, ya, img, shading="flat", **kw)
         a.invert_yaxis()
         a.title.set_text(name)
-    for i in range(len(panels), 4):
-        ax[i // 2, i % 2].axis("off")
+    i = len(panels)
+    if confusion is not None:
+        a = ax[i // 2, i % 2]
+        a.imshow(confusion, interpolation="nearest", cmap="ocean")
+        a.set_ylabel("True label")
+        a.set_xlabel("Predicted label")
+        a.title.set_text("Confusion Matrix")
+        i += 1
+    for j in range(i, rows * 2):
+        ax[j // 2, j % 2].axis("off")
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def render_input_channels(out_dir: str, x: np.ndarray,
+                          prefix: str = "input") -> list:
+    """Dump each input channel as a PNG (reference: TBIEvaluator.py:261-273
+    DispInput)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for c in range(x.shape[-1]):
+        fig, a = plt.subplots()
+        a.grid(False)
+        a.imshow(x[..., c], cmap="winter")
+        p = os.path.join(out_dir, f"{prefix}_{c}.png")
+        fig.savefig(p)
+        plt.close(fig)
+        paths.append(p)
+    return paths

@@ -35,11 +35,16 @@ def build_model(cfg: ModelConfig):
             grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size))
     if name == "swin":
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter
+        attn_impl = cfg.swin_attn_impl
+        if attn_impl == "auto":
+            import jax
+            attn_impl = ("pallas" if jax.devices()[0].platform == "tpu"
+                         else "xla")
         return SwinSegmenter(
             num_classes=cfg.num_classes, img_size=tuple(cfg.img_size),
             embed_dim=cfg.swin_embed_dim, depths=tuple(cfg.swin_depths),
             num_heads=tuple(cfg.swin_heads), window=tuple(cfg.window),
-            drop_path_rate=cfg.drop_path_rate, attn_impl=cfg.swin_attn_impl)
+            drop_path_rate=cfg.drop_path_rate, attn_impl=attn_impl)
     if name == "mobileunet":
         from ultrasound_modeling_tpu.models.mobileunet import MobileUNet
         return MobileUNet(num_classes=cfg.num_classes)

@@ -45,44 +45,37 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 def _window_attn_kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
-                        bias_ref, mask_ref, out_ref, *, num_heads: int,
-                        scale: float, windows_per_step: int, use_mask: bool):
-    """One grid step: a [T, N, C] tile of windows -> [T, N, C] output."""
-    t = windows_per_step
-    x = x_ref[:]                      # [T, N, C]
-    _, n, c = x.shape
-    d = c // num_heads
+                        addmask_ref, out_ref, *, num_heads: int,
+                        scale: float, rows: int, c: int):
+    """One grid step: [T*N, C] rows of T windows -> [T*N, C] output.
 
-    # QKV projection as one [T*N, C] @ [C, 3C] MXU matmul.
-    x2 = x.reshape(t * n, c)
-    qkv = jnp.dot(x2, qkv_w_ref[:], preferred_element_type=jnp.float32)
-    qkv = qkv + qkv_b_ref[:]
-    qkv = qkv.reshape(t, n, 3, num_heads, d)
+    Block-diagonal batching: attention over all T windows in the tile is ONE
+    [T*N, d] x [d, T*N] matmul; a precomputed additive matrix
+    ``addmask_ref[h]`` = -1e9 off the diagonal blocks + relative-position
+    bias tiled on them (+ the shifted-window mask where applicable) restores
+    per-window locality through the softmax.  Everything is a 2-D MXU matmul
+    or elementwise VPU op — no batched dots, reshapes of the lane dim, or
+    scatters (which Mosaic cannot lower).
+    """
+    x2 = x_ref[:]                                        # [rows, C]
+    qkv = jnp.dot(x2, qkv_w_ref[:],
+                  preferred_element_type=jnp.float32) + qkv_b_ref[:]
 
-    # Static loop over heads; per head a batched [T, N, d] attention.
-    # (concatenate instead of scatter-set: Mosaic has no scatter lowering)
     head_outs = []
     for h in range(num_heads):
-        q = qkv[:, :, 0, h, :] * scale          # [T, N, d]
-        k = qkv[:, :, 1, h, :]
-        v = qkv[:, :, 2, h, :]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [T, N, N]
-        scores = scores + bias_ref[h]
-        if use_mask:
-            scores = scores + mask_ref[:]        # [T, N, N] tile of masks
+        d = c // num_heads
+        q = qkv[:, h * d:(h + 1) * d] * scale            # [rows, d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        scores = scores + addmask_ref[0, h]              # [rows, rows]
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jax.lax.dot_general(
-            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [T, N, d]
-        head_outs.append(ctx)
-    out = jnp.concatenate(head_outs, axis=-1)    # [T, N, C]
-
-    # Output projection, again one MXU matmul.
-    y = jnp.dot(out.reshape(t * n, c), proj_w_ref[:],
+        head_outs.append(jnp.dot(probs, v,
+                                 preferred_element_type=jnp.float32))
+    out = jnp.concatenate(head_outs, axis=-1)            # [rows, C]
+    y = jnp.dot(out, proj_w_ref[:],
                 preferred_element_type=jnp.float32) + proj_b_ref[:]
-    out_ref[:] = y.reshape(t, n, c).astype(out_ref.dtype)
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def window_attention_fused(x_windows: jnp.ndarray, qkv_w: jnp.ndarray,
@@ -97,9 +90,12 @@ def window_attention_fused(x_windows: jnp.ndarray, qkv_w: jnp.ndarray,
     """Fused window MSA.  Args as ops.window_attn.window_attention plus the
     output projection (proj_w/proj_b), returning projected output [nBW, N, C].
 
-    ``mask``: [num_windows, N, N] additive mask; the window tile size is
-    chosen to divide num_windows so each grid step sees a contiguous mask
-    tile aligned with its windows.
+    Kernel layout: T windows per grid step as [T*N, C] rows; per-window
+    locality is enforced by a precomputed per-head additive matrix (bias on
+    the diagonal blocks, -1e9 off them, shifted-window mask folded in) so the
+    whole tile is plain 2-D MXU matmuls.  When ``mask`` is given
+    ([num_windows, N, N]), T is chosen to divide num_windows and the additive
+    matrix cycles with period num_windows / T via the BlockSpec index map.
     """
     nbw, n, c = x_windows.shape
     d = c // num_heads
@@ -107,53 +103,70 @@ def window_attention_fused(x_windows: jnp.ndarray, qkv_w: jnp.ndarray,
         scale = d ** -0.5
     interpret = (not _on_tpu()) if interpret is None else interpret
 
-    # Precompute per-head [N, N] bias from table + static index (host-side
-    # gather is tiny; keeps the kernel gather-free).
-    bias = bias_table[rel_index.reshape(-1)].reshape(n, n, num_heads)
-    bias = jnp.transpose(bias, (2, 0, 1))  # [heads, N, N]
-
-    use_mask = mask is not None
-    if use_mask:
-        nw = mask.shape[0]
-        # Tile must align with the window grid: pick t dividing both.
-        t = int(np.gcd(windows_per_step, nw))
-        t = max(t, 1)
-        reps = nbw // nw
-        mask_full = jnp.tile(mask, (reps, 1, 1))
-    else:
-        t = windows_per_step
-        mask_full = jnp.zeros((nbw, n, n), jnp.float32)
+    t = windows_per_step
+    if mask is not None:
+        nw = int(mask.shape[0])
+        t = int(np.gcd(t, nw))
     while nbw % t:
         t -= 1
+    rows = t * n
 
-    qkv_b = jnp.zeros((3 * c,), x_windows.dtype) if qkv_b is None else qkv_b
-    proj_b = jnp.zeros((c,), x_windows.dtype) if proj_b is None else proj_b
+    # Additive matrices [V, heads, rows, rows], built with traced jnp ops
+    # (the bias table is a learned parameter): relative-position bias tiled
+    # on the diagonal blocks, -1e9 off them, shifted-window masks folded in.
+    bias = bias_table[rel_index.reshape(-1)]
+    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1)  # [h, N, N]
+    eye_t = np.eye(t, dtype=np.float32)
+    offdiag = jnp.asarray(
+        (1.0 - np.kron(eye_t, np.ones((n, n), np.float32))) * -1e9)
+    # [h, t, n, t, n]: eye(t) on the block axes x bias on the token axes.
+    base = (jnp.asarray(eye_t)[None, :, None, :, None]
+            * bias[:, None, :, None, :]).reshape(num_heads, rows, rows)
+    base = base + offdiag[None]
+    if mask is not None:
+        nw = int(mask.shape[0])
+        v_count = max(nw // t, 1)
+        variants = []
+        for v in range(v_count):
+            sel = jnp.asarray(mask)[(v * t + np.arange(t)) % nw]  # [t, N, N]
+            block = (jnp.asarray(eye_t)[:, None, :, None]
+                     * sel[:, :, None, :]).reshape(rows, rows)
+            variants.append(base + block[None])
+        addmask = jnp.stack(variants)             # [V, heads, rows, rows]
+    else:
+        v_count = 1
+        addmask = base[None]
 
+    qkv_b = jnp.zeros((3 * c,), jnp.float32) if qkv_b is None else qkv_b
+    proj_b = jnp.zeros((c,), jnp.float32) if proj_b is None else proj_b
+
+    x2 = x_windows.reshape(nbw * n, c)
     grid = (nbw // t,)
     kernel = functools.partial(
         _window_attn_kernel, num_heads=num_heads, scale=float(scale),
-        windows_per_step=t, use_mask=use_mask)
-    return pl.pallas_call(
+        rows=rows, c=c)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t, n, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, num_heads, rows, rows),
+                         lambda i: (i % v_count, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t, n, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbw, n, c), x_windows.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbw * n, c), x_windows.dtype),
         interpret=interpret,
-    )(x_windows, qkv_w, qkv_b, proj_w, proj_b, bias, mask_full)
+    )(x2, qkv_w, qkv_b, proj_w, proj_b,
+      addmask.astype(jnp.float32))
+    return out.reshape(nbw, n, c)
 
 
 # ---------------------------------------------------------------------------
