@@ -61,3 +61,32 @@ def test_window_attention_fused_with_mask(rng):
     ctx = wa.window_attention(x, qkv_w, qkv_b, table, rel, heads, mask=mask)
     want = np.asarray(ctx @ proj_w + proj_b)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_window_attention_fused_grads_match_xla(rng):
+    """custom-VJP backward vs autodiff of the XLA fallback, including the
+    gradient that flows to the relative-position bias table and through a
+    shifted-window mask (the Swin training path)."""
+    x, qkv_w, qkv_b, proj_w, proj_b, table, rel, heads = _window_attn_setup(
+        rng, nbw=8)
+    mask = jnp.asarray(wa.shifted_window_mask(8, 10, (4, 5), 2))
+
+    def loss_fused(x, qkv_w, qkv_b, proj_w, proj_b, table):
+        out = pk.window_attention_fused(
+            x, qkv_w, qkv_b, proj_w, proj_b, table, rel, heads, mask=mask,
+            windows_per_step=4, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_xla(x, qkv_w, qkv_b, proj_w, proj_b, table):
+        ctx = wa.window_attention(x, qkv_w, qkv_b, table, rel, heads,
+                                  mask=mask)
+        return jnp.sum((ctx @ proj_w + proj_b) ** 2)
+
+    args = (x, qkv_w, qkv_b, proj_w, proj_b, table)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(
+            ["x", "qkv_w", "qkv_b", "proj_w", "proj_b", "table"],
+            g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)

@@ -94,6 +94,8 @@ class ModelConfig:
     swin_heads: Tuple[int, ...] = (3, 6, 12, 24)
     # 'auto' = fused Pallas kernel on TPU (29% model speedup), XLA elsewhere.
     swin_attn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # Global-attention impl for transunet/vit ('auto' | 'xla' | 'pallas').
+    attn_impl: str = "auto"
     drop_path_rate: float = 0.1
     dropout_rate: float = 0.0
     # Numerics: compute dtype for the forward pass; params stay f32.

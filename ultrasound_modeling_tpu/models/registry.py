@@ -13,6 +13,18 @@ from __future__ import annotations
 from ultrasound_modeling_tpu.config import ModelConfig
 
 
+def _resolve_impl(impl: str) -> str:
+    """Resolve 'auto' per platform: fused Pallas kernel on TPU, XLA
+    elsewhere.  Measured on one v5e chip (batch-128 forward, bf16): Swin
+    +29% (20-token windows), ViT +49% (33.0 vs 49.2 ms), TransUNet +2.5%
+    (21.1 vs 21.7 ms) — the VMEM tile cap in models/transunet.Attention is
+    what makes the long-sequence cases win."""
+    if impl == "auto":
+        import jax
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    return impl
+
+
 def build_model(cfg: ModelConfig):
     name = cfg.name
     if name == "transunet":
@@ -22,7 +34,8 @@ def build_model(cfg: ModelConfig):
             num_heads=cfg.num_heads, num_layers=cfg.num_layers,
             mlp_dim=cfg.mlp_dim, grid=tuple(cfg.grid), radix=cfg.radix,
             kpaths=cfg.kpaths, ksize=cfg.ksize,
-            dropout_rate=cfg.dropout_rate, remat=cfg.remat)
+            dropout_rate=cfg.dropout_rate, remat=cfg.remat,
+            attn_impl=_resolve_impl(cfg.attn_impl))
     if name == "resnest_unet":
         from ultrasound_modeling_tpu.models.resnest import ResNeStUNet
         return ResNeStUNet(num_classes=cfg.num_classes, ksize=cfg.ksize,
@@ -32,19 +45,16 @@ def build_model(cfg: ModelConfig):
         return ViTSegmenter(
             num_classes=cfg.num_classes, hidden_size=cfg.vit_hidden,
             num_heads=cfg.vit_heads, num_layers=cfg.vit_layers,
-            grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size))
+            grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size),
+            attn_impl=_resolve_impl(cfg.attn_impl))
     if name == "swin":
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter
-        attn_impl = cfg.swin_attn_impl
-        if attn_impl == "auto":
-            import jax
-            attn_impl = ("pallas" if jax.devices()[0].platform == "tpu"
-                         else "xla")
         return SwinSegmenter(
             num_classes=cfg.num_classes, img_size=tuple(cfg.img_size),
             embed_dim=cfg.swin_embed_dim, depths=tuple(cfg.swin_depths),
             num_heads=tuple(cfg.swin_heads), window=tuple(cfg.window),
-            drop_path_rate=cfg.drop_path_rate, attn_impl=attn_impl)
+            drop_path_rate=cfg.drop_path_rate,
+            attn_impl=_resolve_impl(cfg.swin_attn_impl))
     if name == "mobileunet":
         from ultrasound_modeling_tpu.models.mobileunet import MobileUNet
         return MobileUNet(num_classes=cfg.num_classes)

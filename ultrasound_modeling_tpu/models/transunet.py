@@ -33,19 +33,60 @@ TRANSFORMER_LN_EPS = 1e-6  # reference: VisionTransformer.py:131-132,158
 
 class Attention(nn.Module):
     """MHA with q/k/v/out Dense and the 1/sqrt(heads) scale
-    (reference: VisionTransformer.py:9-57)."""
+    (reference: VisionTransformer.py:9-57).
+
+    ``attn_impl='pallas'`` runs the whole qkv-projection -> scores -> softmax
+    -> PV -> output-projection chain as ONE fused Pallas kernel: each batch
+    element is a "window" of the block-diagonal kernel (no bias, no mask), so
+    the sequence never round-trips to HBM between the six ops.
+    """
 
     hidden_size: int = 512
     num_heads: int = 4
     dropout_rate: float = 0.0
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        q = dense(self.hidden_size, name="query")(x)
-        k = dense(self.hidden_size, name="key")(x)
-        v = dense(self.hidden_size, name="value")(x)
-        ctx = mha(q, k, v, self.num_heads)
-        out = dense(self.hidden_size, name="out")(ctx)
+        h = self.hidden_size
+        import numpy as _np
+        scale = 1.0 / float(_np.sqrt(self.num_heads))  # reference numerics
+        # One param layout for both impls (checkpoint-compatible).
+        init = nn.initializers.glorot_uniform()
+        binit = nn.initializers.zeros
+        wq = self.param("query_kernel", init, (h, h))
+        bq = self.param("query_bias", binit, (h,))
+        wk = self.param("key_kernel", init, (h, h))
+        bk = self.param("key_bias", binit, (h,))
+        wv = self.param("value_kernel", init, (h, h))
+        bv = self.param("value_bias", binit, (h,))
+        wo = self.param("out_kernel", init, (h, h))
+        bo = self.param("out_bias", binit, (h,))
+        # Match nn.Dense(dtype=compute_dtype()) numerics: cast params to the
+        # compute dtype so bf16 activations stay bf16 (scan carry dtype).
+        dt = compute_dtype()
+        if dt is not None:
+            x = x.astype(dt)
+            wq, bq, wk, bk = (a.astype(dt) for a in (wq, bq, wk, bk))
+            wv, bv, wo, bo = (a.astype(dt) for a in (wv, bv, wo, bo))
+        if self.attn_impl == "pallas":
+            from ultrasound_modeling_tpu.ops import pallas_kernels as pk
+            qkv_w = jnp.concatenate([wq, wk, wv], axis=1)
+            qkv_b = jnp.concatenate([bq, bk, bv])
+            zero_bias = jnp.zeros((1, self.num_heads), jnp.float32)
+            zero_index = jnp.zeros((x.shape[1], x.shape[1]), jnp.int32)
+            # Cap the tile so the [heads, t*N, t*N] additive matrix fits
+            # VMEM for long sequences (ViT: N=160, h=1280).
+            t = max(1, 256 // int(x.shape[1]))
+            out = pk.window_attention_fused(
+                x, qkv_w, qkv_b, wo, bo, zero_bias, zero_index,
+                self.num_heads, scale=scale, windows_per_step=t)
+        else:
+            q = x @ wq + bq
+            k = x @ wk + bk
+            v = x @ wv + bv
+            ctx = mha(q, k, v, self.num_heads, scale=scale)
+            out = ctx @ wo + bo
         if self.dropout_rate:
             out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
         return out
@@ -77,13 +118,14 @@ class Block(nn.Module):
     num_heads: int = 4
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = x
         x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="attention_norm")(x)
         x = Attention(self.hidden_size, self.num_heads, self.dropout_rate,
-                      name="attn")(x, train)
+                      attn_impl=self.attn_impl, name="attn")(x, train)
         x = x + h
         h = x
         x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="ffn_norm")(x)
@@ -99,11 +141,13 @@ class _ScanBlock(nn.Module):
     num_heads: int
     mlp_dim: int
     dropout_rate: float
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.hidden_size, self.num_heads, self.mlp_dim,
-                  self.dropout_rate, name="block")(x, train)
+                  self.dropout_rate, attn_impl=self.attn_impl,
+                  name="block")(x, train)
         return x, None
 
 
@@ -121,6 +165,7 @@ class Encoder(nn.Module):
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
     remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -137,7 +182,7 @@ class Encoder(nn.Module):
             in_axes=nn.broadcast,
             length=self.num_layers,
         )(self.hidden_size, self.num_heads, self.mlp_dim, self.dropout_rate,
-          name="blocks")
+          self.attn_impl, name="blocks")
         x, _ = scanned(x, train)
         return nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(x)
 
@@ -239,6 +284,7 @@ class TransUNet(nn.Module):
     dropout_rate: float = 0.0
     decoder_kind: str = "dilated"  # 'dilated' | 'ksac'
     remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -254,6 +300,7 @@ class TransUNet(nn.Module):
         # VisionTransformer.py:108) — a no-op, intentionally preserved.
         encoded = Encoder(self.hidden_size, self.num_heads, self.num_layers,
                           self.mlp_dim, self.dropout_rate, remat=self.remat,
+                          attn_impl=self.attn_impl,
                           name="encoder")(emb, train)
         return DecoderCup(self.num_classes, self.grid,
                           block_kind=self.decoder_kind,

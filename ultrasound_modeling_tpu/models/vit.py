@@ -29,6 +29,7 @@ class ViTSegmenter(nn.Module):
     img_size: Tuple[int, int] = (256, 80)
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,7 +46,8 @@ class ViTSegmenter(nn.Module):
         # Zero position embeddings — preserved no-op (TBI_Transformer.py:106).
         for i in range(self.num_layers):
             emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
-                        self.dropout_rate, name=f"block_{i}")(emb, train)
+                        self.dropout_rate, attn_impl=self.attn_impl,
+                        name=f"block_{i}")(emb, train)
         emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(emb)
         # Reshape the sequence buffer back onto the image plane
         # (reference: TBI_Transformer.py:188-189): 160*1280 = 256*80*10.

@@ -141,11 +141,19 @@ def window_attention_fused(x_windows: jnp.ndarray, qkv_w: jnp.ndarray,
     proj_b = jnp.zeros((c,), jnp.float32) if proj_b is None else proj_b
 
     x2 = x_windows.reshape(nbw * n, c)
-    grid = (nbw // t,)
+    static = (num_heads, float(scale), rows, c, v_count, bool(interpret))
+    out = _fused_attn_core(static, x2, qkv_w, qkv_b, proj_w, proj_b,
+                           addmask.astype(jnp.float32))
+    return out.reshape(nbw, n, c)
+
+
+def _fused_attn_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b, addmask):
+    num_heads, scale, rows, c, v_count, interpret = static
+    grid = (x2.shape[0] // rows,)
     kernel = functools.partial(
-        _window_attn_kernel, num_heads=num_heads, scale=float(scale),
+        _window_attn_kernel, num_heads=num_heads, scale=scale,
         rows=rows, c=c)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -162,11 +170,79 @@ def window_attention_fused(x_windows: jnp.ndarray, qkv_w: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbw * n, c), x_windows.dtype),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
         interpret=interpret,
-    )(x2, qkv_w, qkv_b, proj_w, proj_b,
-      addmask.astype(jnp.float32))
-    return out.reshape(nbw, n, c)
+    )(x2, qkv_w, qkv_b, proj_w, proj_b, addmask)
+
+
+def _fused_attn_recompute(static, x2, qkv_w, qkv_b, proj_w, proj_b, addmask):
+    """XLA re-derivation of the kernel math (f32), used by the backward pass
+    (flash-attention-style rematerialization: save only the inputs, rebuild
+    qkv/probs on the backward pass instead of storing them from the kernel).
+    Returns the intermediates the gradient needs."""
+    num_heads, scale, rows, c, v_count, _ = static
+    g_steps = x2.shape[0] // rows
+    d = c // num_heads
+    x3 = x2.reshape(g_steps, rows, c).astype(jnp.float32)
+    qkv = (jnp.einsum("grc,cd->grd", x3, qkv_w.astype(jnp.float32))
+           + qkv_b.astype(jnp.float32))
+    qkv = qkv.reshape(g_steps, rows, 3, num_heads, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [G, rows, h, d]
+    am = jnp.take(addmask, jnp.arange(g_steps) % v_count, axis=0)
+    s = scale * jnp.einsum("grhd,gshd->ghrs", q, k) + am
+    p = jax.nn.softmax(s, axis=-1)                      # [G, h, rows, rows]
+    o = jnp.einsum("ghrs,gshd->grhd", p, v).reshape(g_steps, rows, c)
+    return x3, q, k, v, p, o
+
+
+def _fused_attn_fwd(static, x2, qkv_w, qkv_b, proj_w, proj_b, addmask):
+    out = _fused_attn_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b,
+                                 addmask)
+    return out, (x2, qkv_w, qkv_b, proj_w, proj_b, addmask)
+
+
+def _fused_attn_bwd(static, res, g):
+    num_heads, scale, rows, c, v_count, _ = static
+    x2, qkv_w, qkv_b, proj_w, proj_b, addmask = res
+    g_steps = x2.shape[0] // rows
+    d = c // num_heads
+    x3, q, k, v, p, o = _fused_attn_recompute(
+        static, x2, qkv_w, qkv_b, proj_w, proj_b, addmask)
+    g3 = g.reshape(g_steps, rows, c).astype(jnp.float32)
+    pw = proj_w.astype(jnp.float32)
+    d_proj_w = jnp.einsum("grc,grk->ck", o, g3)
+    d_proj_b = g3.sum((0, 1))
+    do = jnp.einsum("grk,ck->grc", g3, pw).reshape(g_steps, rows,
+                                                   num_heads, d)
+    dp = jnp.einsum("grhd,gshd->ghrs", do, v)
+    dv = jnp.einsum("ghrs,grhd->gshd", p, do)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # Grid step i uses addmask[i % v_count]; G is a multiple of v_count, so
+    # the per-variant gradient is a fold over the leading cycle axis.
+    d_addmask = ds.reshape(g_steps // v_count, v_count, num_heads, rows,
+                           rows).sum(0)
+    dq = scale * jnp.einsum("ghrs,gshd->grhd", ds, k)
+    dk = scale * jnp.einsum("ghrs,grhd->gshd", ds, q)
+    dqkv = jnp.stack([dq, dk, dv], axis=2).reshape(g_steps, rows, 3 * c)
+    d_qkv_w = jnp.einsum("grc,grd->cd", x3, dqkv)
+    d_qkv_b = dqkv.sum((0, 1))
+    dx = jnp.einsum("grd,cd->grc", dqkv, qkv_w.astype(jnp.float32))
+    return (dx.reshape(x2.shape).astype(x2.dtype),
+            d_qkv_w.astype(qkv_w.dtype), d_qkv_b.astype(qkv_b.dtype),
+            d_proj_w.astype(proj_w.dtype), d_proj_b.astype(proj_b.dtype),
+            d_addmask.astype(addmask.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_attn_core(static, x2, qkv_w, qkv_b, proj_w, proj_b, addmask):
+    """Fused forward (Pallas) with an XLA-recompute backward, so the kernel
+    is usable inside jitted train steps (grads flow to x, the projections,
+    and — through ``addmask`` — the relative-position bias table)."""
+    return _fused_attn_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b,
+                                  addmask)
+
+
+_fused_attn_core.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
