@@ -69,7 +69,12 @@ class Attention(nn.Module):
             x = x.astype(dt)
             wq, bq, wk, bk = (a.astype(dt) for a in (wq, bq, wk, bk))
             wv, bv, wo, bo = (a.astype(dt) for a in (wv, bv, wo, bo))
-        if self.attn_impl == "pallas":
+        # Fused kernel on the inference path only: for the 80/160-token
+        # global attention the fused fwd wins big (ViT +49%) but the
+        # recompute backward costs more than it saves (ViT train -29%,
+        # measured on v5e), so training traces the composed XLA path.
+        # ``train`` is a static Python bool — this branch is trace-time.
+        if self.attn_impl == "pallas" and not train:
             from ultrasound_modeling_tpu.ops import pallas_kernels as pk
             qkv_w = jnp.concatenate([wq, wk, wv], axis=1)
             qkv_b = jnp.concatenate([bq, bk, bv])
