@@ -89,3 +89,27 @@ def test_eval_step_metrics():
         v = float(summary[key])
         assert np.isfinite(v), key
     assert 0.0 <= float(summary["accuracy"]) <= 1.0
+
+
+def test_auc_matches_exact_rank_auc(rng):
+    """Histogram ROC-AUC vs the exact rank-statistic AUC on random data."""
+    import numpy as np
+    n = 4000
+    y = (rng.uniform(size=n) > 0.6).astype(np.float32)
+    # Predictions correlated with truth so AUC is away from 0.5 and 1.0.
+    p = np.clip(0.55 * y + 0.45 * rng.uniform(size=n), 0, 1).astype(np.float32)
+    state = metrics.update(metrics.zeros(3), jnp.asarray(y), jnp.asarray(p),
+                           jnp.float32(0.0))
+    got = float(metrics.summarize(state)["auc"])
+    pos, neg = p[y > 0.5], p[y <= 0.5]
+    exact = float(np.mean(pos[:, None] > neg[None, :])
+                  + 0.5 * np.mean(pos[:, None] == neg[None, :]))
+    assert abs(got - exact) < 0.01, (got, exact)
+
+
+def test_auc_perfect_and_random():
+    import numpy as np
+    y = jnp.asarray(np.repeat([0.0, 1.0], 100))
+    p_perfect = jnp.asarray(np.repeat([0.1, 0.9], 100))
+    s = metrics.update(metrics.zeros(3), y, p_perfect, jnp.float32(0.0))
+    assert float(metrics.summarize(s)["auc"]) > 0.99

@@ -27,12 +27,16 @@ import jax
 import jax.numpy as jnp
 
 
+AUC_BINS = 200  # histogram resolution (≙ Keras AUC num_thresholds=200)
+
+
 class MetricState(NamedTuple):
     """Accumulable metric state (a pytree; add states to merge)."""
 
     binary: jnp.ndarray        # [4] TP, FP, FN, TN over all classes
     binary_c2: jnp.ndarray     # [4] same, bleed channel only
     confusion: jnp.ndarray     # [C, C] argmax confusion (rows=true, cols=pred)
+    auc_hist: jnp.ndarray      # [2, 2, AUC_BINS] (all|c2, pos|neg) pred hists
     loss_sum: jnp.ndarray      # scalar
     count: jnp.ndarray         # scalar batch count
 
@@ -45,6 +49,7 @@ def zeros(num_classes: int = 3) -> MetricState:
         binary=jnp.zeros(4, jnp.float32),
         binary_c2=jnp.zeros(4, jnp.float32),
         confusion=jnp.zeros((num_classes, num_classes), jnp.float32),
+        auc_hist=jnp.zeros((2, 2, AUC_BINS), jnp.float32),
         loss_sum=jnp.zeros((), jnp.float32),
         count=jnp.zeros((), jnp.float32))
 
@@ -71,6 +76,21 @@ def confusion_matrix(y_true: jnp.ndarray, probs: jnp.ndarray,
     return flat.reshape(num_classes, num_classes)
 
 
+def _auc_hists(y_true: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
+    """[2, AUC_BINS] histograms of predicted probability, split by ground
+    truth (positives row 0, negatives row 1).  Bucket ``floor(p * BINS)``
+    ≙ the fixed-threshold binning of keras.metrics.AUC
+    (reference: TBIPixelCNN.py:271-280)."""
+    t = (jnp.round(y_true) > 0.5).reshape(-1)
+    p = jnp.clip(probs.reshape(-1), 0.0, 1.0)
+    idx = jnp.minimum((p * AUC_BINS).astype(jnp.int32), AUC_BINS - 1)
+    pos = jnp.zeros(AUC_BINS, jnp.float32).at[idx].add(
+        t.astype(jnp.float32))
+    neg = jnp.zeros(AUC_BINS, jnp.float32).at[idx].add(
+        (~t).astype(jnp.float32))
+    return jnp.stack([pos, neg])
+
+
 def update(state: MetricState, y_true: jnp.ndarray, probs: jnp.ndarray,
            loss: jnp.ndarray) -> MetricState:
     c = state.confusion.shape[0]
@@ -78,8 +98,23 @@ def update(state: MetricState, y_true: jnp.ndarray, probs: jnp.ndarray,
         binary=_binary_counts(y_true, probs),
         binary_c2=_binary_counts(y_true[..., -1], probs[..., -1]),
         confusion=confusion_matrix(y_true, probs, c),
+        auc_hist=jnp.stack([
+            _auc_hists(y_true, probs),
+            _auc_hists(y_true[..., -1], probs[..., -1])]),
         loss_sum=jnp.asarray(loss, jnp.float32),
         count=jnp.ones((), jnp.float32))
+
+
+def _roc_auc(hists: jnp.ndarray) -> jnp.ndarray:
+    """Trapezoidal ROC AUC from (pos, neg) prediction histograms."""
+    pos, neg = hists[0], hists[1]
+    # TP(threshold_j) = # positives in buckets >= j: reversed cumsum, with a
+    # leading "threshold below 0" point where TPR = FPR = 1.
+    tp = jnp.concatenate([jnp.cumsum(pos[::-1])[::-1], jnp.zeros(1)])
+    fp = jnp.concatenate([jnp.cumsum(neg[::-1])[::-1], jnp.zeros(1)])
+    tpr = tp / jnp.maximum(tp[0], 1.0)
+    fpr = fp / jnp.maximum(fp[0], 1.0)
+    return jnp.sum((fpr[:-1] - fpr[1:]) * (tpr[:-1] + tpr[1:]) * 0.5)
 
 
 def _prf(counts: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -109,5 +144,7 @@ def summarize(state: MetricState) -> Dict[str, jnp.ndarray]:
         out[f"dice_c{c}"] = dice[c]
         out[f"iou_c{c}"] = iou[c]
     out["accuracy"] = tp.sum() / jnp.maximum(cm.sum(), 1.0)
+    out["auc"] = _roc_auc(state.auc_hist[0])
+    out["c2_auc"] = _roc_auc(state.auc_hist[1])
     out["loss"] = state.loss_sum / jnp.maximum(state.count, 1.0)
     return out
