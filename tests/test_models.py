@@ -86,3 +86,55 @@ def test_transunet_gradients_flow():
     assert leaves
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert np.isfinite(total) and total > 0
+
+
+class TestFusedResidualS:
+    """impl='fused' (block-diagonal dense restructure) vs impl='vmap'
+    (per-branch batched HLOs): identical math, different lowering."""
+
+    def _run(self, norm, train, rng):
+        import jax
+        from ultrasound_modeling_tpu.models.resnest import (
+            ResidualS, vmap_to_fused_params)
+        x = jnp.asarray(rng.normal(size=(2, 16, 8, 12)), jnp.float32)
+        kw = dict(outchannel=24, ksize=3, radix=3, kpaths=2, norm=norm,
+                  act="leaky")
+        m_v = ResidualS(impl="vmap", **kw)
+        v_v = m_v.init(jax.random.PRNGKey(0), x, train)
+        m_f = ResidualS(impl="fused", **kw)
+        fused_params = vmap_to_fused_params(v_v["params"])
+        variables = {"params": fused_params}
+        if "batch_stats" in v_v:
+            # Fresh zero/one running stats on both sides.
+            bs = m_f.init(jax.random.PRNGKey(1), x, train).get(
+                "batch_stats", {})
+            variables["batch_stats"] = bs
+        mut = ["batch_stats"] if norm == "batch" else False
+        out_v = m_v.apply(v_v, x, train, mutable=mut)
+        out_f = m_f.apply(variables, x, train, mutable=mut)
+        if mut:
+            (ov, sv), (of, sf) = out_v, out_f
+        else:
+            ov, of = out_v, out_f
+            sv = sf = None
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ov),
+                                   rtol=2e-4, atol=2e-4)
+        return sv, sf
+
+    def test_layer_eval(self, rng):
+        self._run("layer", False, rng)
+
+    def test_layer_train(self, rng):
+        self._run("layer", True, rng)
+
+    def test_batch_train_updates_stats(self, rng):
+        sv, sf = self._run("batch", True, rng)
+        # Running stats advance identically (up to leaf naming).
+        leaves_v = sorted(np.asarray(l).ravel()[0]
+                          for l in jax.tree.leaves(sv))
+        leaves_f = sorted(np.asarray(l).ravel()[0]
+                          for l in jax.tree.leaves(sf))
+        np.testing.assert_allclose(leaves_f, leaves_v, rtol=1e-4, atol=1e-5)
+
+    def test_batch_eval(self, rng):
+        self._run("batch", False, rng)

@@ -32,10 +32,13 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ultrasound_modeling_tpu.models.common import (
-    Norm, activation, avg_pool2, conv, conv_transpose)
+    KERAS_BN_EPS, KERAS_BN_MOMENTUM, KERAS_LN_EPS, Norm, activation,
+    avg_pool2, compute_dtype, conv, conv_transpose, he_normal)
 
 
 def _vmapped(module_cls, axis_size: int):
@@ -146,16 +149,134 @@ class ResidualS(nn.Module):
     norm: str = "layer"
     act: str = "leaky"
     shortcut_always: bool = True
+    # 'fused': all K*R branch convs restructured into dense / block-diagonal
+    # convolutions + einsum split-attention (one MXU-friendly op per logical
+    # layer).  'vmap': one batched HLO per branch layer (the straightforward
+    # lowering; per-branch channels of 3-30 pad to 128 TPU lanes, wasting
+    # bandwidth — measured ~40% slower on stage 1).  Numerics identical
+    # (tests/test_models.py fused-vs-vmap equivalence).
+    impl: str = "fused"
+
+    def _group_norm(self, y, name: str, train: bool):
+        """Per-branch norm over the trailing channel axis of
+        ``y [..., *branch_dims, C]`` — the fused equivalent of the vmapped
+        ``Norm`` (Keras LayerNorm eps 1e-3 / BatchNorm momentum .99 eps 1e-3
+        per branch).  Stats in f32, output in compute dtype."""
+        shape = y.shape[3:]  # [K, R, C] or [K, C]
+        scale = self.param(f"{name}_scale", nn.initializers.ones, shape)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, shape)
+        yf = y.astype(jnp.float32)
+        if self.norm == "layer":
+            mean = yf.mean(axis=-1, keepdims=True)
+            var = yf.var(axis=-1, keepdims=True)
+            out = (yf - mean) * lax.rsqrt(var + KERAS_LN_EPS)
+        elif self.norm == "batch":
+            red = tuple(range(y.ndim - len(shape)))  # batch+spatial axes
+            ra_mean = self.variable(
+                "batch_stats", f"{name}_mean",
+                lambda: jnp.zeros(shape, jnp.float32))
+            ra_var = self.variable(
+                "batch_stats", f"{name}_var",
+                lambda: jnp.ones(shape, jnp.float32))
+            if train:
+                mean = yf.mean(axis=red)
+                var = yf.var(axis=red)
+                if not self.is_initializing():
+                    m = KERAS_BN_MOMENTUM
+                    ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                    ra_var.value = m * ra_var.value + (1 - m) * var
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            out = (yf - mean) * lax.rsqrt(var + KERAS_BN_EPS)
+        else:
+            out = yf
+        out = out * scale + bias
+        return out.astype(y.dtype)
+
+    def _fused(self, x, train: bool):
+        """Block-diagonal dense restructuring of the K*R branch tree.
+
+        The K*R 1x1 branch convs all read the same input, so they ARE one
+        dense ``Cin -> K*R*c11`` conv; the K*R kxk convs (each reading only
+        its own c11 slice) become one dense conv with a block-diagonal
+        kernel (zeros off-block cost nothing — the tiny per-branch channel
+        counts were being padded to the 128-lane TPU tile anyway); split
+        attention becomes two einsums over stacked weights."""
+        act = activation(self.act)
+        k_, r_ = self.kpaths, self.radix
+        cardchannel = self.outchannel // 2
+        c11 = int(cardchannel / r_ / k_)
+        ckk = int(cardchannel / k_)
+        cin = x.shape[-1]
+        kr = k_ * r_
+        dt = compute_dtype() or x.dtype
+
+        w1 = self.param("branch1_kernel", he_normal,
+                        (k_, r_, 1, 1, cin, c11))
+        b1 = self.param("branch1_bias", nn.initializers.zeros, (k_, r_, c11))
+        w2 = self.param("branch2_kernel", he_normal,
+                        (k_, r_, self.ksize, self.ksize, c11, ckk))
+        b2 = self.param("branch2_bias", nn.initializers.zeros, (k_, r_, ckk))
+
+        b, h, w, _ = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        # 1x1 branch convs == one dense conv to K*R*c11.
+        k1 = w1.transpose(2, 3, 4, 0, 1, 5).reshape(1, 1, cin, kr * c11)
+        y = lax.conv_general_dilated(
+            x.astype(dt), k1.astype(dt), (1, 1), "SAME",
+            dimension_numbers=dn) + b1.reshape(-1).astype(dt)
+        y = y.reshape(b, h, w, k_, r_, c11)
+        y = act(self._group_norm(y, "branch1_norm", train))
+
+        # kxk branch convs == one block-diagonal dense conv.
+        k2 = jnp.zeros((self.ksize, self.ksize, kr * c11, kr * ckk), w2.dtype)
+        w2f = w2.reshape(kr, self.ksize, self.ksize, c11, ckk)
+        for i in range(kr):
+            k2 = k2.at[:, :, i * c11:(i + 1) * c11,
+                       i * ckk:(i + 1) * ckk].set(w2f[i])
+        y = lax.conv_general_dilated(
+            y.reshape(b, h, w, kr * c11), k2.astype(dt), (1, 1), "SAME",
+            dimension_numbers=dn) + b2.reshape(-1).astype(dt)
+        y = y.reshape(b, h, w, k_, r_, ckk)
+        y = act(self._group_norm(y, "branch2_norm", train))
+
+        # Split attention (reference: TBI_ResNest.py:175-207), all K paths at
+        # once: sum radix -> GAP -> per-path dense1 -> per-(path,radix)
+        # dense2 -> channel softmax -> weighted radix sum.
+        wd1 = self.param("attn_dense1_kernel", he_normal,
+                         (k_, ckk, ckk // 2))
+        bd1 = self.param("attn_dense1_bias", nn.initializers.zeros,
+                         (k_, ckk // 2))
+        wd2 = self.param("attn_dense2_kernel", he_normal,
+                         (k_, r_, ckk // 2, ckk))
+        bd2 = self.param("attn_dense2_bias", nn.initializers.zeros,
+                         (k_, r_, ckk))
+        s = y.sum(axis=4)                                  # [B,H,W,K,ckk]
+        gap = s.mean(axis=(1, 2))                          # [B,K,ckk]
+        a = jnp.einsum("bkc,kcd->bkd", gap, wd1.astype(dt)) + bd1.astype(dt)
+        a = act(self._group_norm(a[:, None, None], "attn_norm",
+                                 train)[:, 0, 0])
+        z = (jnp.einsum("bkd,krdc->bkrc", a, wd2.astype(dt))
+             + bd2.astype(dt))                             # [B,K,R,ckk]
+        if r_ == 1:
+            z = nn.sigmoid(z)
+        else:
+            z = nn.softmax(z, axis=-1)  # channel-axis softmax (ref. quirk)
+        out = jnp.einsum("bhwkrc,bkrc->bhwkc", y, z)
+        return out.reshape(b, h, w, k_ * ckk)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = activation(self.act)
-        cards = _vmapped(Cardinal, self.kpaths)(
-            self.outchannel // 2, self.ksize, self.radix, self.kpaths,
-            self.norm, self.act, name="cardinals")(x, train)
-        # [K, B, H, W, C/2] -> channel-concat in cardinal order.
-        k, b, h, w, c = cards.shape
-        concats = jnp.moveaxis(cards, 0, -2).reshape(b, h, w, k * c)
+        if self.impl == "fused":
+            concats = self._fused(x, train)
+        else:
+            cards = _vmapped(Cardinal, self.kpaths)(
+                self.outchannel // 2, self.ksize, self.radix, self.kpaths,
+                self.norm, self.act, name="cardinals")(x, train)
+            # [K, B, H, W, C/2] -> channel-concat in cardinal order.
+            k, b, h, w, c = cards.shape
+            concats = jnp.moveaxis(cards, 0, -2).reshape(b, h, w, k * c)
         concats = conv(self.outchannel, self.ksize, name="concat_conv")(concats)
 
         if self.shortcut_always or x.shape[-1] != self.outchannel:
@@ -165,6 +286,44 @@ class ResidualS(nn.Module):
         else:
             sc = x
         return sc + concats
+
+
+def vmap_to_fused_params(vp: dict) -> dict:
+    """Map one ResidualS's impl='vmap' param subtree to the impl='fused'
+    layout (same tensors, different leaf names).  Checkpoint migration
+    helper + equivalence-test fixture."""
+    cards = vp["cardinals"]
+    br = cards["branches"]
+    sp = cards["split"]
+
+    def _norm(sub):  # LayerNorm_0 or BatchNorm_0 scale/bias
+        inner = next(iter(sub.values()))
+        return inner["scale"], inner["bias"]
+
+    b1s, b1b = _norm(br["conv1_norm"])
+    b2s, b2b = _norm(br["conv2_norm"])
+    ats, atb = _norm(sp["dense1_norm"])
+    out = {
+        "branch1_kernel": br["conv1"]["kernel"],
+        "branch1_bias": br["conv1"]["bias"],
+        "branch1_norm_scale": b1s,
+        "branch1_norm_bias": b1b,
+        "branch2_kernel": br["conv2"]["kernel"],
+        "branch2_bias": br["conv2"]["bias"],
+        "branch2_norm_scale": b2s,
+        "branch2_norm_bias": b2b,
+        "attn_dense1_kernel": sp["dense1"]["kernel"][:, 0, 0],
+        "attn_dense1_bias": sp["dense1"]["bias"],
+        "attn_norm_scale": ats,
+        "attn_norm_bias": atb,
+        "attn_dense2_kernel": sp["dense2"]["dense2"]["kernel"][:, :, 0, 0],
+        "attn_dense2_bias": sp["dense2"]["dense2"]["bias"],
+        "concat_conv": vp["concat_conv"],
+    }
+    if "shortcut_conv" in vp:
+        out["shortcut_conv"] = vp["shortcut_conv"]
+        out["shortcut_norm"] = vp["shortcut_norm"]
+    return out
 
 
 class ResNeStEncoder(nn.Module):
