@@ -65,12 +65,29 @@ def bench_model(name, batch, bf16=True, train=False, n_iter=20):
         float(run())
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
+
+    # Pipelined steady state: dispatch a window back-to-back, sync once.
+    # Train steps chain through the state; inference chains in program
+    # order on the device.  This strips the per-call host round-trip
+    # (~25 ms on this host link) that dominates p50 above.
+    window = 8
+    for _ in range(window):
+        run()
+    float(run())
+    t0 = time.perf_counter()
+    for _ in range(window - 1):
+        run()
+    float(run())
+    pipelined = (time.perf_counter() - t0) / window
+
     return {
         "model": name, "mode": "train" if train else "infer",
         "batch": batch, "img": [h, w, c],
         "p50_ms_per_batch": round(p50 * 1e3, 3),
         "p50_ms_per_frame": round(p50 * 1e3 / batch, 4),
-        "frames_per_sec": round(batch / p50, 1),
+        "sync_frames_per_sec": round(batch / p50, 1),
+        "pipelined_ms_per_batch": round(pipelined * 1e3, 3),
+        "frames_per_sec": round(batch / pipelined, 1),
         "dtype": "bfloat16" if bf16 else "float32",
     }
 
