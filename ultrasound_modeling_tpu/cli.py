@@ -37,6 +37,10 @@ def _add_common(p):
     p.add_argument("--val-data", default=None)
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over the 'model' mesh axis "
+                        "(Megatron-style sharding of the transformer stack; "
+                        "total devices = n-devices * tp)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay float32)")
     p.add_argument("--config", default=None,
@@ -86,8 +90,9 @@ def cmd_train(args):
     cfg = build_config(args)
     ds = build_dataset(cfg, args)
     mesh = None
-    if args.n_devices and args.n_devices > 1:
-        mesh = mesh_mod.make_mesh(n_data=args.n_devices)
+    tp = max(int(getattr(args, "tp", 1) or 1), 1)
+    if (args.n_devices and args.n_devices > 1) or tp > 1:
+        mesh = mesh_mod.make_mesh(n_data=args.n_devices, n_model=tp)
     ckpt = Checkpointer(args.ckpt) if args.ckpt else None
     trainer = Trainer(cfg, ds, mesh=mesh,
                       logger=MetricLogger(args.log_dir), checkpointer=ckpt)

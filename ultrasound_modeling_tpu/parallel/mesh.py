@@ -58,3 +58,57 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / opt state) across the mesh."""
     s = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (Megatron-style) for the transformer stacks
+# ---------------------------------------------------------------------------
+#
+# The reference has no TP (SURVEY.md §2.3) — this is the TPU-native extension
+# the reserved ``model`` axis exists for.  Sharding is declared per-parameter
+# and GSPMD inserts the collectives: qkv projections and MLP fc1 are
+# column-parallel (output features / heads sharded, no comms in between),
+# attn-out and MLP fc2 are row-parallel (input features sharded, one
+# all-reduce at the block output, which XLA fuses with the residual add).
+# Works for both the scanned TransUNet stack ([L, ...] leaves) and the
+# unrolled ViT blocks — specs are built from the trailing axes.
+
+_COL_KERNELS = ("attn/query_kernel", "attn/key_kernel", "attn/value_kernel",
+                "ffn/fc1/kernel")
+_COL_BIASES = ("attn/query_bias", "attn/key_bias", "attn/value_bias",
+               "ffn/fc1/bias")
+_ROW_KERNELS = ("attn/out_kernel", "ffn/fc2/kernel")
+
+
+def _leaf_spec(path, leaf) -> P:
+    name = "/".join(
+        str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+    nd = leaf.ndim
+
+    def tail(model_pos_from_end: int) -> P:
+        axes = [None] * nd
+        axes[nd - model_pos_from_end] = MODEL_AXIS
+        return P(*axes)
+
+    if any(name.endswith(s) for s in _COL_KERNELS):
+        return tail(1)          # [..., in, out]: shard out
+    if any(name.endswith(s) for s in _COL_BIASES):
+        return tail(1)          # [..., out]: shard out
+    if any(name.endswith(s) for s in _ROW_KERNELS):
+        return tail(2)          # [..., in, out]: shard in
+    return P()
+
+
+def tp_param_specs(params):
+    """PartitionSpec pytree for Megatron-style TP over ``model``."""
+    return jax.tree_util.tree_map_with_path(_leaf_spec, params)
+
+
+def shard_params(mesh: Mesh, tree, specs=None):
+    """Place a param/opt-state pytree on the mesh per the TP specs
+    (replicated where no rule matches).  ``specs`` defaults to
+    ``tp_param_specs`` of the tree itself."""
+    if specs is None:
+        specs = tp_param_specs(tree)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)

@@ -80,7 +80,12 @@ class Trainer:
         self.state = step_mod.TrainState.create(self.model, self.tx, sample, rng)
         if mesh is not None:
             from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
-            self.state = mesh_mod.replicate(mesh, self.state)
+            if mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
+                # dp x tp: Megatron-style sharding of the transformer stack
+                # over 'model'; non-matching params stay replicated.
+                self.state = mesh_mod.shard_params(mesh, self.state)
+            else:
+                self.state = mesh_mod.replicate(mesh, self.state)
         self.iteration = 0
 
     # ------------------------------------------------------------------
