@@ -91,6 +91,13 @@ def cmd_train(args):
     ds = build_dataset(cfg, args)
     mesh = None
     tp = max(int(getattr(args, "tp", 1) or 1), 1)
+    if tp > 1:
+        # The fused Pallas attention kernel is a single-device program — it
+        # cannot be partitioned over the 'model' axis by GSPMD.  Force the
+        # composed XLA attention (which shards cleanly) under TP.
+        import dataclasses as dc
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model, attn_impl="xla", swin_attn_impl="xla"))
     if (args.n_devices and args.n_devices > 1) or tp > 1:
         mesh = mesh_mod.make_mesh(n_data=args.n_devices, n_model=tp)
     ckpt = Checkpointer(args.ckpt) if args.ckpt else None
