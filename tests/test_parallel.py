@@ -173,3 +173,24 @@ def test_cli_train_dp_tp(tmp_path):
     argv += ["--config", str(cfgf)]
     with mock.patch.object(sys, "argv", argv):
         cli.main()
+
+
+def test_spatial_partition_step_matches_single_device():
+    """Sequence/context parallelism for conv models: batch over 'data' AND
+    height over 'model' (GSPMD halo exchange).  One train step matches the
+    single-device step."""
+    model, step, state, x, y = _setup()
+    lr = jnp.float32(1e-3)
+    _, loss1, _ = step(state, x, y, lr)
+
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    state_r = mesh_mod.replicate(mesh, state)
+    xs, ys = mesh_mod.shard_batch_spatial(mesh, x, y)
+    assert xs.sharding.spec == jax.sharding.PartitionSpec(
+        mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS)
+    s_sp, loss_sp, _ = step(state_r, xs, ys, lr)
+    np.testing.assert_allclose(float(loss_sp), float(loss1), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(
+                        step(state, x, y, lr)[0].params)),
+                    jax.tree.leaves(jax.device_get(s_sp.params))):
+        np.testing.assert_allclose(a, b, atol=2.5e-3)

@@ -54,6 +54,22 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over ``data`` AND image height over ``model`` — spatial
+    partitioning (the conv-model form of sequence/context parallelism).
+    GSPMD inserts the halo exchanges for SAME-padded convs and pools, so
+    a [B, H, W, C] conv network runs unchanged; reductions (BatchNorm
+    batch stats, GAP) are global automatically."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch_spatial(mesh: Mesh, *arrays):
+    """Place [B, H, ...] host arrays batch- and height-sharded."""
+    s = spatial_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / opt state) across the mesh."""
     s = replicated(mesh)
