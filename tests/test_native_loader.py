@@ -49,3 +49,30 @@ def test_float64_and_int(tmp_path):
         np.save(p, arr)
         with NpyShard(p) as sh:
             np.testing.assert_array_equal(sh.gather(np.arange(10)), arr)
+
+
+def test_dataset_out_of_core_matches_in_memory(tmp_path):
+    """Dataset(out_of_core=True) produces identical batches to the
+    in-memory loader, including the short-final-batch tail window."""
+    import jax.numpy as jnp
+    from ultrasound_modeling_tpu.data import synthetic
+    from ultrasound_modeling_tpu.data.pipeline import Dataset
+
+    tr = str(tmp_path / "train.npy")
+    te = str(tmp_path / "test.npy")
+    synthetic.write_npy(tr, 10, seed=0, height=32, width=16, n_disp=4)
+    synthetic.write_npy(te, 5, seed=1, height=32, width=16, n_disp=4)
+
+    d_mem = Dataset.from_npy(tr, te, 3)
+    d_ooc = Dataset.from_npy(tr, te, 3, out_of_core=True)
+    assert (d_ooc.height, d_ooc.width, d_ooc.channel) == (32, 16, 4)
+
+    for _ in range(5):  # crosses the epoch boundary (10 samples, batch 4)
+        xm, ym, tm = d_mem.next_train(4)
+        xo, yo, to = d_ooc.next_train(4)
+        assert tm == to
+        np.testing.assert_array_equal(np.asarray(xo), np.asarray(xm))
+        np.testing.assert_array_equal(np.asarray(yo), np.asarray(ym))
+    xm, ym, _ = d_mem.next_test(3)
+    xo, yo, _ = d_ooc.next_test(3)
+    np.testing.assert_array_equal(np.asarray(xo), np.asarray(xm))

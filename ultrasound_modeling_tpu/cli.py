@@ -37,6 +37,9 @@ def _add_common(p):
     p.add_argument("--val-data", default=None)
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--out-of-core", action="store_true",
+                   help="stream batches from disk via the native mmap "
+                        "loader instead of loading the archive into memory")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over the 'model' mesh axis "
                         "(Megatron-style sharding of the transformer stack; "
@@ -60,7 +63,8 @@ def build_dataset(cfg, args):
             n_train=max(64, 2 * bs), n_test=max(16, bs), height=h, width=w,
             n_disp=cfg.model.in_channels, num_classes=cfg.model.num_classes)
     return Dataset.from_npy(args.train_data, args.val_data,
-                            cfg.model.num_classes)
+                            cfg.model.num_classes,
+                            out_of_core=getattr(args, "out_of_core", False))
 
 
 def build_config(args):
