@@ -1,0 +1,207 @@
+"""On-device, rng-keyed, vmappable data augmentations.
+
+The reference implements augmentation as per-sample Python pixel loops on the
+host (reference: DataAugs.py:6-102 — O(H*W) nested loops per image, its #1
+CPU hot spot).  Here each augmentation is a pure jnp function of
+``(key, image[H,W,C], label[H,W])`` with static shapes, composed by
+``augment_sample`` and vmapped over the batch inside the jitted input
+pipeline, so the whole thing fuses into a handful of VPU ops.
+
+Semantics preserved (the *intent*, per reference DataAugs.py:82-102):
+  with r, t ~ U{0..100000}:
+    * brain-mask erosion by ``t%7 + 2`` iterations if ``r%3 != 0``
+      (DataAugs.py:91-92; the reference's ``mask[i,j] > 1`` test at
+      DataAugs.py:62 is a latent bug that disables the grow loop — we
+      implement the intended 8-neighbourhood dilation of the outside-brain
+      region),
+    * ``r%3`` rectangle cutouts, center row ~ U[0,256] halfheight U[20,40],
+      center col ~ U[0,80] halfwidth U[10,20], zeroing image and label
+      (DataAugs.py:26-37),
+    * translation by (dr<=30, dc<=12) pixels in +/- direction if ``t%2``
+      with zero fill (DataAugs.py:6-23),
+    * Gaussian noise sigma = 1/5000 if ``t%3`` (DataAugs.py:40-49),
+    * optional horizontal flip (monolith variant — TBI_TransUNet.py:840-842).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Erosion iteration count is t%7 + 2 in [2, 8]; static upper bound for lax loop.
+_MAX_ERODE_ITERS = 8
+_MAX_CUTOUTS = 2  # r%3 in {0, 1, 2}
+
+
+def _dilate8(mask: jnp.ndarray) -> jnp.ndarray:
+    """One step of 8-neighbourhood binary dilation via a 3x3 max window."""
+    return jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max,
+        window_dimensions=(3, 3), window_strides=(1, 1), padding="SAME")
+
+
+def erode_brain(image: jnp.ndarray, label: jnp.ndarray,
+                iters: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shrink the brain region by ``iters`` pixels (intended semantics of
+    reference DataAugs.py:52-79 ``imageReduc``).
+
+    outside-brain = (label < 0.1); grow it ``iters`` times with an
+    8-neighbourhood dilation; zero the label and every image channel there.
+    """
+    outside = (label < 0.1).astype(image.dtype)
+
+    def body(i, m):
+        grown = _dilate8(m)
+        return jnp.where(i < iters, grown, m)
+
+    outside = jax.lax.fori_loop(0, _MAX_ERODE_ITERS, body, outside)
+    keep = outside < 0.5
+    label = jnp.where(keep, label, 0.0)
+    # Reference zeroes every channel wherever the (eroded) label is 0
+    # (DataAugs.py:75-77) — outside-brain input is already 0 from the ETL.
+    image = jnp.where((label != 0.0)[..., None], image, 0.0)
+    return image, label
+
+
+def cutout(key: jax.Array, image: jnp.ndarray,
+           label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One random rectangle cutout (reference DataAugs.py:26-37 ``clip``)."""
+    h, w = label.shape
+    kr, kc, kra, kca = jax.random.split(key, 4)
+    r = jax.random.randint(kr, (), 0, h + 1)
+    c = jax.random.randint(kc, (), 0, w + 1)
+    ra = jax.random.randint(kra, (), 20, 41)
+    ca = jax.random.randint(kca, (), 10, 21)
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    # Strict inequalities match the reference: r + ra > i > r - ra.
+    inside = ((rows > r - ra) & (rows < r + ra)
+              & (cols > c - ca) & (cols < c + ca))
+    label = jnp.where(inside, 0.0, label)
+    image = jnp.where(inside[..., None], 0.0, image)
+    return image, label
+
+
+def shift(key: jax.Array, image: jnp.ndarray,
+          label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random translation with zero fill (reference DataAugs.py:6-23).
+
+    out[i, j] = in[i + s_r, j + s_c], with (s_r, s_c) = +(dr, dc) or
+    -(dr, dc), dr ~ U{0..30}, dc ~ U{0..12}.
+    """
+    h, w = label.shape
+    kr, kc, kd = jax.random.split(key, 3)
+    dr = jax.random.randint(kr, (), 0, 31)
+    dc = jax.random.randint(kc, (), 0, 13)
+    direction = jax.random.randint(kd, (), 0, 2)
+    sr = jnp.where(direction == 1, dr, -dr)
+    sc = jnp.where(direction == 1, dc, -dc)
+
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    valid = ((rows + sr >= 0) & (rows + sr < h)
+             & (cols + sc >= 0) & (cols + sc < w))
+    # roll by -s gives out[i, j] = in[(i + s) % H, (j + s) % W]; mask wrap.
+    label = jnp.where(valid, jnp.roll(label, (-sr, -sc), axis=(0, 1)), 0.0)
+    image = jnp.where(valid[..., None],
+                      jnp.roll(image, (-sr, -sc), axis=(0, 1)), 0.0)
+    return image, label
+
+
+def gaussian_noise(key: jax.Array, image: jnp.ndarray) -> jnp.ndarray:
+    """Additive N(0, 1)/5000 noise (reference DataAugs.py:40-49)."""
+    return image + jax.random.normal(key, image.shape, image.dtype) / 5000.0
+
+
+def hflip(image: jnp.ndarray, label: jnp.ndarray):
+    """Horizontal (width-axis) flip (monolith variant, TBI_TransUNet.py:840-842)."""
+    return image[:, ::-1, :], label[:, ::-1]
+
+
+def contrast_stretch(image: jnp.ndarray, brain_mask: jnp.ndarray,
+                     low_pct: float = 2.0, high_pct: float = 98.0
+                     ) -> jnp.ndarray:
+    """Percentile contrast stretch, zeroed outside the brain (intended
+    semantics of the ETL-side aug — reference: DataFilePlayGround.py:196-215:
+    min-max rescale, clip to the [2, 98] percentiles, rescale, re-mask)."""
+    lo = jnp.min(image)
+    hi = jnp.max(image)
+    x = (image - lo) / jnp.maximum(hi - lo, 1e-12)
+    plo = jnp.percentile(x, low_pct)
+    phi = jnp.percentile(x, high_pct)
+    x = jnp.clip(x, plo, phi)
+    x = (x - plo) / jnp.maximum(phi - plo, 1e-12)
+    return jnp.where((brain_mask < 0.1)[..., None], 0.0, x)
+
+
+def rotate_small(image: jnp.ndarray, label: jnp.ndarray,
+                 angle_deg: jnp.ndarray):
+    """Small rotation about the image center with bilinear resampling and
+    zero fill (the ETL-side ``ndimage.rotate(..., reshape=False)`` aug —
+    reference: DataFilePlayGround.py:228-232, angles (r%11)/5 <= 2 deg)."""
+    h, w = label.shape
+    theta = angle_deg * (jnp.pi / 180.0)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h)[:, None] - cy
+    xx = jnp.arange(w)[None, :] - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    src_y = cos * yy - sin * xx + cy
+    src_x = sin * yy + cos * xx + cx
+    coords = jnp.stack([src_y, src_x])
+
+    def sample(img2d):
+        return jax.scipy.ndimage.map_coordinates(
+            img2d, [coords[0], coords[1]], order=1, mode="constant", cval=0.0)
+
+    label_out = sample(label)
+    image_out = jnp.stack(
+        [sample(image[..., c]) for c in range(image.shape[-1])], axis=-1)
+    return image_out, label_out
+
+
+def augment_sample(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
+                   *, flip: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full composition with the reference's branch probabilities
+    (DataAugs.py:82-102): r, t ~ U{0..100000}."""
+    k_r, k_t, k_cut0, k_cut1, k_shift, k_noise = jax.random.split(key, 6)
+    r = jax.random.randint(k_r, (), 0, 100001)
+    t = jax.random.randint(k_t, (), 0, 100001)
+
+    if flip:
+        flipped = hflip(image, label)
+        image = jnp.where(r % 2 == 1, flipped[0], image)
+        label = jnp.where(r % 2 == 1, flipped[1], label)
+
+    # Erosion: if r % 3 != 0, with t % 7 + 2 iterations.
+    iters = jnp.where(r % 3 != 0, t % 7 + 2, 0)
+    image, label = erode_brain(image, label, iters)
+
+    # r % 3 cutouts (0, 1 or 2).
+    n_cuts = r % 3
+    for i, k in enumerate((k_cut0, k_cut1)):
+        cut_im, cut_lb = cutout(k, image, label)
+        image = jnp.where(i < n_cuts, cut_im, image)
+        label = jnp.where(i < n_cuts, cut_lb, label)
+
+    # Shift if t % 2.
+    sh_im, sh_lb = shift(k_shift, image, label)
+    image = jnp.where(t % 2 == 1, sh_im, image)
+    label = jnp.where(t % 2 == 1, sh_lb, label)
+
+    # Noise if t % 3.
+    image = jnp.where(t % 3 != 0, gaussian_noise(k_noise, image), image)
+    return image, label
+
+
+@functools.partial(jax.jit, static_argnames=("flip",))
+def augment_batch(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
+                  *, flip: bool = False):
+    """vmapped batch augmentation: ``images [B,H,W,C]``, ``labels [B,H,W]``."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(
+        lambda k, im, lb: augment_sample(k, im, lb, flip=flip)
+    )(keys, images, labels)
