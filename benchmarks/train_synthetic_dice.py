@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--n-test", type=int, default=32)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--vit-learned-pos", action="store_true",
+                    help="learnable position embeddings (framework "
+                         "extension; reference ViT has constant zeros)")
     ap.add_argument("--loss", default=None,
                     help="override loss family (e.g. factor_scaled)")
     ap.add_argument("--scan", action="store_true",
@@ -51,6 +54,8 @@ def main():
                            epochs=args.epochs)
     if args.loss:
         train_cfg = dc.replace(train_cfg, loss=args.loss)
+    if args.vit_learned_pos:
+        model_cfg = dc.replace(model_cfg, vit_learned_pos=True)
     if args.scan:
         train_cfg = dc.replace(train_cfg, scan_epochs=True)
     cfg = cfg.replace(model=model_cfg, train=train_cfg)

@@ -89,3 +89,26 @@ def test_swin_pallas_attn_matches_xla():
     out_pl = m_pl.apply(variables, x, False)  # same params, fused kernel
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_swin_grads_finite_on_zeroed_input(rng):
+    """Displacement inputs are exactly zero outside the brain; with a
+    zero-init patch-embed bias those patches gave LayerNorm zero channel
+    variance and the backward compounded 1/sqrt(eps) per norm to inf
+    (global-norm clip then froze training).  Regression: grads stay finite
+    on an input with large all-zero regions."""
+    from ultrasound_modeling_tpu.models.swin import SwinSegmenter
+    x = np.zeros((2, 64, 80, 10), np.float32)
+    x[:, 20:40, 30:50] = rng.normal(size=(2, 20, 20, 10))
+    x = jnp.asarray(x)
+    model = SwinSegmenter(img_size=(64, 80), depths=(2, 2), num_heads=(3, 6),
+                          embed_dim=48, attn_impl="xla", drop_path_rate=0.0)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, False)
+
+    def lossf(params):
+        return jnp.sum(model.apply({"params": params}, x, False) ** 2)
+
+    g = jax.grad(lossf)(v["params"])
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.isfinite(leaf).all())

@@ -87,6 +87,9 @@ class ModelConfig:
     vit_heads: int = 8
     vit_layers: int = 8
     vit_grid: Tuple[int, int] = (16, 10)
+    # Parity default False: the reference's pos embeddings are constant
+    # zeros (TBI_Transformer.py:106).  True = learnable (standard ViT).
+    vit_learned_pos: bool = False
     # Swin constants (reference: SwinTransformer.py:8-21,163).
     window: Tuple[int, int] = (4, 5)
     swin_embed_dim: int = 96
@@ -198,6 +201,11 @@ def default_config(model_name: str = "transunet", **overrides) -> Config:
     elif model_name == "vit":
         train = dataclasses.replace(train, batch_size=8, learning_rate=1e-3,
                                     l2_regularization=1e-5)
+    elif model_name == "swin":
+        # The reference ships the Swin backbone without a trainer
+        # (SwinTransformer.py); 1e-2 (the TransUNet schedule) diverges —
+        # use the conventional Swin fine-tune rate.
+        train = dataclasses.replace(train, learning_rate=1e-3)
     elif model_name == "mobileunet":
         # 15-channel 256x64 variant (reference: TBIPixelCNN.py:15,21);
         # dual Adam 2e-3/2e-4 beta1=0.5 (reference: TBIPixelCNN.py:256-257).

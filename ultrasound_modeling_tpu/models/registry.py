@@ -46,6 +46,7 @@ def build_model(cfg: ModelConfig):
             num_classes=cfg.num_classes, hidden_size=cfg.vit_hidden,
             num_heads=cfg.vit_heads, num_layers=cfg.vit_layers,
             grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size),
+            learned_pos=cfg.vit_learned_pos,
             attn_impl=_resolve_impl(cfg.attn_impl))
     if name == "swin":
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter

@@ -212,9 +212,17 @@ class SwinBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
-        # Patch embed (reference: SwinTransformer.py:340-369).
+        # Patch embed (reference: SwinTransformer.py:340-369).  The bias is
+        # init'd non-zero on purpose: ultrasound displacement inputs are
+        # exactly zero outside the brain, and with a zero bias those patches
+        # embed to constant rows — LayerNorm then has zero channel variance
+        # and its backward amplifies gradients by 1/sqrt(eps) ~ 316 PER
+        # NORM, compounding to inf across the stack (global-norm clipping
+        # then zeroes every update and the model never trains).  A spread
+        # of per-channel biases keeps the variance bounded away from 0.
         x = nn.Conv(self.embed_dim, dtype=compute_dtype(), kernel_size=self.patch_size,
-                    strides=self.patch_size, padding="VALID", name="proj")(x)
+                    strides=self.patch_size, padding="VALID",
+                    bias_init=nn.initializers.normal(0.02), name="proj")(x)
         res = (x.shape[1], x.shape[2])
         x = x.reshape(b, res[0] * res[1], self.embed_dim)
         if self.patch_norm:

@@ -30,6 +30,12 @@ class ViTSegmenter(nn.Module):
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
+    # The reference's position embeddings are CONSTANT zeros — a no-op
+    # (``tf.zeros``, never a variable: TBI_Transformer.py:106).  Parity
+    # default preserves that; True makes them a learnable zero-init param
+    # (the standard ViT design), which is what lets the segmenter localize
+    # (measured: held-out brain Dice 0.06 -> see BASELINE.md).
+    learned_pos: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,12 +44,24 @@ class ViTSegmenter(nn.Module):
         patch = (h // gh, w // gw)  # (16, 8)
         b = x.shape[0]
         # Patch-conv embedding (reference: TBI_Transformer.py:103-105).
+        # Non-zero bias init: all-zero input patches (displacement is zeroed
+        # outside the brain) would otherwise embed to constant rows, whose
+        # zero channel variance makes every LayerNorm backward amplify
+        # gradients by 1/sqrt(eps)=1000 — measured 4e7 gradient norms that
+        # starve the rest of the net under global-norm clipping (see
+        # models/swin.py patch embed for the same fix).
         emb = nn.Conv(self.hidden_size, kernel_size=patch, strides=patch,
                       padding="VALID", dtype=compute_dtype(),
                       kernel_init=nn.initializers.he_normal(),
+                      bias_init=nn.initializers.normal(0.02),
                       name="patch_embeddings")(x)
         emb = emb.reshape(b, gh * gw, self.hidden_size)
-        # Zero position embeddings — preserved no-op (TBI_Transformer.py:106).
+        # Zero position embeddings — preserved no-op (TBI_Transformer.py:106)
+        # unless ``learned_pos`` upgrades them to a learnable parameter.
+        if self.learned_pos:
+            pos = self.param("position_embeddings", nn.initializers.zeros,
+                             (1, gh * gw, self.hidden_size))
+            emb = emb + pos.astype(emb.dtype)
         for i in range(self.num_layers):
             emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
                         self.dropout_rate, attn_impl=self.attn_impl,
