@@ -175,6 +175,103 @@ def test_cli_train_dp_tp(tmp_path):
         cli.main()
 
 
+class TestPipelineParallel:
+    """GPipe pipeline over the 'model' axis for the scanned transformer
+    stack (parallel/pipeline.py): forward/step equivalence vs the local
+    lax.scan path, with stage-sharded layer params."""
+
+    def _models(self, mesh, num_micro=4):
+        from ultrasound_modeling_tpu.models.transunet import TransUNet
+        kw = dict(num_classes=3, hidden_size=64, num_heads=4, num_layers=4,
+                  mlp_dim=128, grid=(4, 5), radix=2, kpaths=2)
+        return (TransUNet(**kw),
+                TransUNet(**kw, pp_mesh=mesh, pp_micro=num_micro))
+
+    def test_pp_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from ultrasound_modeling_tpu.parallel.pipeline import pp_param_specs
+        mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+        model, _ = self._models(mesh)
+        x = jnp.zeros((2, 64, 80, 10), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, False)
+        specs = pp_param_specs(variables["params"])
+        enc = specs["encoder"]["blocks"]["block"]
+        assert enc["attn"]["query_kernel"] == P("model")
+        assert enc["ffn"]["fc1"]["kernel"] == P("model")
+        assert specs["encoder"]["encoder_norm"]["scale"] == P()
+        assert specs["decoder"]["conv_more"]["kernel"] == P()
+
+    def test_pp_forward_matches_scanned(self):
+        from ultrasound_modeling_tpu.parallel.pipeline import shard_params_pp
+        mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+        m_ref, m_pp = self._models(mesh)
+        x = jnp.asarray(np.random.RandomState(0).randn(8, 64, 80, 10),
+                        jnp.float32)
+        v = jax.jit(m_ref.init, static_argnums=(2,))(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, False)
+        ref = jax.jit(lambda v, x: m_ref.apply(v, x, False))(v, x)
+        v_pp = shard_params_pp(mesh, v)
+        x_sh = mesh_mod.shard_batch(mesh, x)
+        out = jax.jit(lambda v, x: m_pp.apply(v, x, False))(v_pp, x_sh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-6)
+
+    def test_dp_pp_step_matches_single_device(self):
+        from ultrasound_modeling_tpu.parallel.pipeline import shard_params_pp
+        mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+        m_ref, m_pp = self._models(mesh)
+        tx = optim.make_direction(clip_norm=1.0)
+        b, h, w = 8, 64, 80
+        raw = synthetic.make_raw_array(b, seed=0, height=h, width=w,
+                                       n_disp=10)
+        x = jnp.asarray(raw[:, 0, :, :, 1:-1])
+        y = jnp.asarray(raw[:, 0, :, :, 0])
+        state = step_mod.TrainState.create(
+            m_ref, tx, jnp.zeros((b, h, w, 10), jnp.float32),
+            jax.random.PRNGKey(0))
+
+        step_ref = step_mod.make_train_step(m_ref, losses.cce_smooth, tx,
+                                            num_classes=3, augment=False,
+                                            donate=False)
+        step_pp = step_mod.make_train_step(m_pp, losses.cce_smooth, tx,
+                                           num_classes=3, augment=False,
+                                           donate=False)
+        s1, loss1, _ = step_ref(state, x, y, jnp.float32(1e-3))
+
+        state_pp = shard_params_pp(mesh, state)
+        xs, ys = mesh_mod.shard_batch(mesh, x, y)
+        s2, loss2, _ = step_pp(state_pp, xs, ys, jnp.float32(1e-3))
+        np.testing.assert_allclose(float(loss2), float(loss1),
+                                   rtol=2e-5, atol=2e-6)
+        assert int(s2.step) == 1
+        # Stacked layer params stay stage-sharded after the update.
+        qk = s2.params["encoder"]["blocks"]["block"]["attn"]["query_kernel"]
+        assert qk.sharding.spec[0] == "model"
+        for a, b_ in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                         jax.tree.leaves(jax.device_get(s2.params))):
+            np.testing.assert_allclose(b_, a, atol=2.5e-3)
+
+
+def test_cli_train_dp_pp(tmp_path):
+    """End-to-end: CLI train with --n-devices 4 --pp 2 on the virtual mesh."""
+    import sys
+    import unittest.mock as mock
+    from ultrasound_modeling_tpu import cli
+    cfgf = tmp_path / "tiny.toml"
+    cfgf.write_text(
+        "[model]\nname = 'transunet'\nhidden_size = 64\nnum_heads = 4\n"
+        "num_layers = 2\nmlp_dim = 128\ngrid = [4, 5]\nradix = 2\n"
+        "kpaths = 2\nimg_size = [64, 80]\n"
+        "[train]\nbatch_size = 8\nepochs = 1\n")
+    argv = ["cli", "train", "--model", "transunet", "--synthetic",
+            "--epochs", "1", "--batch-size", "8", "--n-devices", "4",
+            "--pp", "2", "--log-dir", str(tmp_path),
+            "--config", str(cfgf)]
+    with mock.patch.object(sys, "argv", argv):
+        cli.main()
+
+
 def test_spatial_partition_step_matches_single_device():
     """Sequence/context parallelism for conv models: batch over 'data' AND
     height over 'model' (GSPMD halo exchange).  One train step matches the

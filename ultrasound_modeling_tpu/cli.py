@@ -44,6 +44,12 @@ def _add_common(p):
                    help="tensor-parallel degree over the 'model' mesh axis "
                         "(Megatron-style sharding of the transformer stack; "
                         "total devices = n-devices * tp)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages over the 'model' mesh axis "
+                        "(GPipe schedule on the scanned transformer stack; "
+                        "transunet only; mutually exclusive with --tp)")
+    p.add_argument("--pp-micro", type=int, default=0,
+                   help="pipeline microbatches (default 2*stages)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay float32)")
     p.add_argument("--config", default=None,
@@ -95,6 +101,10 @@ def cmd_train(args):
     ds = build_dataset(cfg, args)
     mesh = None
     tp = max(int(getattr(args, "tp", 1) or 1), 1)
+    pp = max(int(getattr(args, "pp", 1) or 1), 1)
+    if tp > 1 and pp > 1:
+        raise SystemExit("--tp and --pp both use the 'model' mesh axis; "
+                         "pick one (dp composes with either)")
     if tp > 1:
         # The fused Pallas attention kernel is a single-device program — it
         # cannot be partitioned over the 'model' axis by GSPMD.  Force the
@@ -102,11 +112,14 @@ def cmd_train(args):
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
-    if (args.n_devices and args.n_devices > 1) or tp > 1:
-        mesh = mesh_mod.make_mesh(n_data=args.n_devices, n_model=tp)
+    n_model = max(tp, pp)
+    if (args.n_devices and args.n_devices > 1) or n_model > 1:
+        mesh = mesh_mod.make_mesh(n_data=args.n_devices, n_model=n_model)
     ckpt = Checkpointer(args.ckpt) if args.ckpt else None
     trainer = Trainer(cfg, ds, mesh=mesh,
-                      logger=MetricLogger(args.log_dir), checkpointer=ckpt)
+                      logger=MetricLogger(args.log_dir), checkpointer=ckpt,
+                      parallel="pp" if pp > 1 else "tp",
+                      pp_micro=getattr(args, "pp_micro", 0))
     if args.resume and ckpt is not None and ckpt.latest_step() is not None:
         trainer.state = ckpt.restore(trainer.state)
         trainer.iteration = int(trainer.state.step)

@@ -25,7 +25,7 @@ def _resolve_impl(impl: str) -> str:
     return impl
 
 
-def build_model(cfg: ModelConfig):
+def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
     name = cfg.name
     if name == "transunet":
         from ultrasound_modeling_tpu.models.transunet import TransUNet
@@ -35,7 +35,11 @@ def build_model(cfg: ModelConfig):
             mlp_dim=cfg.mlp_dim, grid=tuple(cfg.grid), radix=cfg.radix,
             kpaths=cfg.kpaths, ksize=cfg.ksize,
             dropout_rate=cfg.dropout_rate, remat=cfg.remat,
-            attn_impl=_resolve_impl(cfg.attn_impl))
+            attn_impl=_resolve_impl(cfg.attn_impl),
+            pp_mesh=pp_mesh, pp_micro=pp_micro)
+    if pp_mesh is not None:
+        raise ValueError(f"pipeline parallelism requires the scanned "
+                         f"transformer stack (model 'transunet'), got {name!r}")
     if name == "resnest_unet":
         from ultrasound_modeling_tpu.models.resnest import ResNeStUNet
         return ResNeStUNet(num_classes=cfg.num_classes, ksize=cfg.ksize,

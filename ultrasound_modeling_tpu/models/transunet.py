@@ -18,7 +18,7 @@ Flagship model, parity with reference VisionTransformer.py + Decoder.py:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -162,7 +162,13 @@ class Encoder(nn.Module):
     Blocks are laid out as ONE ``nn.scan`` over stacked per-layer params
     instead of ``num_layers`` unrolled copies: the compiled HLO contains a
     single block body (an order-of-magnitude compile-time reduction for the
-    deep stacks; runtime is identical — weights stream per layer)."""
+    deep stacks; runtime is identical — weights stream per layer).
+
+    ``pp_mesh``: when set (and its ``model`` axis has size > 1), the stacked
+    layers execute as a GPipe pipeline over that axis instead of a local scan
+    (parallel/pipeline.py) — the param layout is IDENTICAL (``[L, ...]``
+    leaves, layer axis sharded across stages), so checkpoints are
+    interchangeable between the scanned and pipelined paths."""
 
     hidden_size: int = 512
     num_heads: int = 4
@@ -171,6 +177,8 @@ class Encoder(nn.Module):
     dropout_rate: float = 0.0
     remat: bool = False
     attn_impl: str = "xla"
+    pp_mesh: Optional[Any] = None
+    pp_micro: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -188,8 +196,43 @@ class Encoder(nn.Module):
             length=self.num_layers,
         )(self.hidden_size, self.num_heads, self.mlp_dim, self.dropout_rate,
           self.attn_impl, name="blocks")
-        x, _ = scanned(x, train)
+        use_pp = (self.pp_mesh is not None
+                  and not self.is_initializing()
+                  and self.pp_mesh.shape.get("model", 1) > 1)
+        if use_pp:
+            x = self._pipelined(x, train)
+        else:
+            x, _ = scanned(x, train)
         return nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(x)
+
+    def _pipelined(self, x, train: bool):
+        """Apply the stacked blocks as a pipeline over the mesh 'model' axis
+        (the scanned params created at init are reused verbatim)."""
+        import jax as _jax
+
+        from ultrasound_modeling_tpu.parallel.pipeline import pipeline_stack
+
+        stacked = self.get_variable("params", "blocks")["block"]
+        if self.pp_mesh.shape["model"] > 1:
+            n_layers = _jax.tree.leaves(stacked)[0].shape[0]
+            if n_layers % self.pp_mesh.shape["model"]:
+                raise ValueError(
+                    f"num_layers={n_layers} not divisible by pipeline "
+                    f"stages={self.pp_mesh.shape['model']}")
+        block = Block(self.hidden_size, self.num_heads, self.mlp_dim,
+                      self.dropout_rate, attn_impl=self.attn_impl)
+        want_dropout = bool(self.dropout_rate) and train
+        base_key = self.make_rng("dropout") if want_dropout else None
+
+        def layer_apply(lp, h, fold):
+            rngs = ({"dropout": _jax.random.fold_in(base_key, fold)}
+                    if want_dropout else None)
+            return block.apply({"params": lp}, h, train, rngs=rngs)
+
+        if self.remat:
+            layer_apply = _jax.checkpoint(layer_apply)
+        return pipeline_stack(layer_apply, stacked, x, mesh=self.pp_mesh,
+                              num_micro=self.pp_micro or None)
 
 
 class DecoderBlock(nn.Module):
@@ -290,6 +333,8 @@ class TransUNet(nn.Module):
     decoder_kind: str = "dilated"  # 'dilated' | 'ksac'
     remat: bool = False
     attn_impl: str = "xla"
+    pp_mesh: Optional[Any] = None   # pipeline the transformer stack (Encoder)
+    pp_micro: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -305,7 +350,8 @@ class TransUNet(nn.Module):
         # VisionTransformer.py:108) — a no-op, intentionally preserved.
         encoded = Encoder(self.hidden_size, self.num_heads, self.num_layers,
                           self.mlp_dim, self.dropout_rate, remat=self.remat,
-                          attn_impl=self.attn_impl,
+                          attn_impl=self.attn_impl, pp_mesh=self.pp_mesh,
+                          pp_micro=self.pp_micro,
                           name="encoder")(emb, train)
         return DecoderCup(self.num_classes, self.grid,
                           block_kind=self.decoder_kind,

@@ -33,13 +33,21 @@ from ultrasound_modeling_tpu.utils.logging import MetricLogger
 class Trainer:
     def __init__(self, cfg: Config, dataset: Dataset,
                  model=None, mesh=None, logger: Optional[MetricLogger] = None,
-                 checkpointer=None):
+                 checkpointer=None, parallel: str = "tp", pp_micro: int = 0):
         self.cfg = cfg
         self.dataset = dataset
         if cfg.model.compute_dtype != "float32":
             from ultrasound_modeling_tpu.models import common as model_common
             model_common.set_compute_dtype(cfg.model.compute_dtype)
-        self.model = model if model is not None else build_model(cfg.model)
+        # 'tp' (Megatron sharding) vs 'pp' (GPipe pipeline) decide how the
+        # mesh 'model' axis is used; with axis size 1 both are no-ops.
+        self.parallel = parallel
+        use_pp = (parallel == "pp" and mesh is not None
+                  and mesh.shape.get("model", 1) > 1)
+        if model is None:
+            model = build_model(cfg.model, pp_mesh=mesh if use_pp else None,
+                                pp_micro=pp_micro)
+        self.model = model
         self.mesh = mesh
         self.logger = logger or MetricLogger()
         self.checkpointer = checkpointer
@@ -81,9 +89,17 @@ class Trainer:
         if mesh is not None:
             from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
             if mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
-                # dp x tp: Megatron-style sharding of the transformer stack
-                # over 'model'; non-matching params stay replicated.
-                self.state = mesh_mod.shard_params(mesh, self.state)
+                if self.parallel == "pp":
+                    # dp x pp: layer axis of the scanned stack sharded across
+                    # pipeline stages; each stage holds only its slab's
+                    # params/opt state (parallel/pipeline.py).
+                    from ultrasound_modeling_tpu.parallel.pipeline import (
+                        shard_params_pp)
+                    self.state = shard_params_pp(mesh, self.state)
+                else:
+                    # dp x tp: Megatron-style sharding of the transformer
+                    # stack over 'model'; non-matching params replicated.
+                    self.state = mesh_mod.shard_params(mesh, self.state)
             else:
                 self.state = mesh_mod.replicate(mesh, self.state)
         self.iteration = 0
