@@ -193,6 +193,57 @@ class ResidualS(nn.Module):
         out = out * scale + bias
         return out.astype(y.dtype)
 
+    def _flat_norm(self, y, name: str, shape, train: bool):
+        """Per-branch norm on the FLAT channel axis of ``y [B,H,W,G*C]``
+        (param ``shape`` e.g. ``(K, R, C)`` factors the channels into
+        ``G = K*R`` groups of ``C``), numerically equal to ``_group_norm``
+        on the grouped view.
+
+        Motivation (profiled on v5e, flagship fwd batch 256): the grouped
+        6-D view [B,H,W,K,R,C] with C of 3-30 forces XLA into padded
+        layouts + f32 relayout copies around every stat op — ~8 ms/stage of
+        pure data formatting.  Here group means arrive by multiplying with a
+        constant block-averaging matrix on the MXU (``y @ M``, f32
+        accumulation), so every elementwise op stays on the flat tiled
+        layout and fuses into the neighbouring convs."""
+        c = shape[-1]
+        f = y.shape[-1]
+        scale = self.param(f"{name}_scale", nn.initializers.ones, shape)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, shape)
+        sflat = scale.reshape(-1).astype(jnp.float32)
+        bflat = bias.reshape(-1).astype(jnp.float32)
+        if self.norm == "layer":
+            avg = jnp.kron(jnp.eye(f // c, dtype=y.dtype),
+                           jnp.full((c, c), 1.0 / c, y.dtype))
+            mu = jnp.einsum("bhwf,fg->bhwg", y, avg,
+                            preferred_element_type=jnp.float32)
+            s2 = jnp.einsum("bhwf,fg->bhwg", y * y, avg,
+                            preferred_element_type=jnp.float32)
+            var = s2 - mu * mu
+            yf = y.astype(jnp.float32)
+            out = (yf - mu) * lax.rsqrt(var + KERAS_LN_EPS) * sflat + bflat
+            return out.astype(y.dtype)
+        # batch: per-(k,r,c) stats ARE per-flat-channel stats — one plain
+        # channel reduce, no grouped view needed at all.
+        ra_mean = self.variable("batch_stats", f"{name}_mean",
+                                lambda: jnp.zeros(shape, jnp.float32))
+        ra_var = self.variable("batch_stats", f"{name}_var",
+                               lambda: jnp.ones(shape, jnp.float32))
+        if train:
+            yf32 = y.astype(jnp.float32)
+            mean = yf32.mean(axis=(0, 1, 2))
+            var = yf32.var(axis=(0, 1, 2))
+            if not self.is_initializing():
+                m = KERAS_BN_MOMENTUM
+                ra_mean.value = (m * ra_mean.value
+                                 + (1 - m) * mean.reshape(shape))
+                ra_var.value = m * ra_var.value + (1 - m) * var.reshape(shape)
+        else:
+            mean = ra_mean.value.reshape(-1)
+            var = ra_var.value.reshape(-1)
+        a = lax.rsqrt(var + KERAS_BN_EPS) * sflat
+        return (y.astype(jnp.float32) * a + (bflat - mean * a)).astype(y.dtype)
+
     def _fused(self, x, train: bool):
         """Block-diagonal dense restructuring of the K*R branch tree.
 
@@ -225,8 +276,7 @@ class ResidualS(nn.Module):
         y = lax.conv_general_dilated(
             x.astype(dt), k1.astype(dt), (1, 1), "SAME",
             dimension_numbers=dn) + b1.reshape(-1).astype(dt)
-        y = y.reshape(b, h, w, k_, r_, c11)
-        y = act(self._group_norm(y, "branch1_norm", train))
+        y = act(self._flat_norm(y, "branch1_norm", (k_, r_, c11), train))
 
         # kxk branch convs == one block-diagonal dense conv.
         k2 = jnp.zeros((self.ksize, self.ksize, kr * c11, kr * ckk), w2.dtype)
@@ -235,10 +285,10 @@ class ResidualS(nn.Module):
             k2 = k2.at[:, :, i * c11:(i + 1) * c11,
                        i * ckk:(i + 1) * ckk].set(w2f[i])
         y = lax.conv_general_dilated(
-            y.reshape(b, h, w, kr * c11), k2.astype(dt), (1, 1), "SAME",
+            y, k2.astype(dt), (1, 1), "SAME",
             dimension_numbers=dn) + b2.reshape(-1).astype(dt)
-        y = y.reshape(b, h, w, k_, r_, ckk)
-        y = act(self._group_norm(y, "branch2_norm", train))
+        y = act(self._flat_norm(y, "branch2_norm", (k_, r_, ckk), train))
+        # y: [B, H, W, K*R*ckk], flat channel order (k, r, c).
 
         # Split attention (reference: TBI_ResNest.py:175-207), all K paths at
         # once: sum radix -> GAP -> per-path dense1 -> per-(path,radix)
@@ -251,8 +301,9 @@ class ResidualS(nn.Module):
                          (k_, r_, ckk // 2, ckk))
         bd2 = self.param("attn_dense2_bias", nn.initializers.zeros,
                          (k_, r_, ckk))
-        s = y.sum(axis=4)                                  # [B,H,W,K,ckk]
-        gap = s.mean(axis=(1, 2))                          # [B,K,ckk]
+        # GAP commutes with the radix sum: one spatial mean on the flat
+        # layout, radix-summed on the tiny [B, ...] result.
+        gap = y.mean(axis=(1, 2)).reshape(b, k_, r_, ckk).sum(2)  # [B,K,ckk]
         a = jnp.einsum("bkc,kcd->bkd", gap, wd1.astype(dt)) + bd1.astype(dt)
         a = act(self._group_norm(a[:, None, None], "attn_norm",
                                  train)[:, 0, 0])
@@ -262,8 +313,15 @@ class ResidualS(nn.Module):
             z = nn.sigmoid(z)
         else:
             z = nn.softmax(z, axis=-1)  # channel-axis softmax (ref. quirk)
-        out = jnp.einsum("bhwkrc,bkrc->bhwkc", y, z)
-        return out.reshape(b, h, w, k_ * ckk)
+        # Weighted radix sum out[...,(k,c)] = sum_r y[...,(k,r,c)] z[b,k,r,c]:
+        # multiply on the flat layout, contract the radix groups with a
+        # constant 0/1 selection matrix on the MXU — no grouped views of the
+        # full-resolution tensor anywhere in this stage.
+        zf = z.reshape(b, 1, 1, kr * ckk).astype(dt)
+        eye = jnp.eye(ckk, dtype=dt)
+        sel = jnp.kron(jnp.eye(k_, dtype=dt),
+                       jnp.tile(eye, (r_, 1)))             # [kr*ckk, k*ckk]
+        return jnp.einsum("bhwf,fg->bhwg", y * zf, sel)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
