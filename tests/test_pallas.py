@@ -90,3 +90,86 @@ def test_window_attention_fused_grads_match_xla(rng):
             g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# group_flat_norm (fused per-group channel LayerNorm of the split-attention
+# stage; models/resnest.py ResidualS._flat_norm)
+# ---------------------------------------------------------------------------
+
+def _gfn_ref(y, s, b, gsize, eps):
+    """Naive grouped-view reference (f32 math)."""
+    n, f = y.shape
+    g = f // gsize
+    yg = y.reshape(n, g, gsize).astype(jnp.float32)
+    mu = yg.mean(-1, keepdims=True)
+    var = yg.var(-1, keepdims=True)
+    out = (yg - mu) * jax.lax.rsqrt(var + eps)
+    return out.reshape(n, f) * s + b
+
+
+def test_group_flat_norm_matches_reference(rng):
+    n, g, c = 37, 9, 10          # ragged n exercises the tail-tile masking
+    f = g * c
+    y = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    got = pk.group_flat_norm(y, s, b, c, 1e-3, interpret=True)
+    want = _gfn_ref(y, s, b, c, 1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_group_flat_norm_grads_match_reference(rng):
+    n, g, c = 37, 3, 20
+    f = g * c
+    y = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+
+    def loss_k(y, s, b):
+        return jnp.sum(jnp.sin(pk.group_flat_norm(y, s, b, c, 1e-3,
+                                                  interpret=True)))
+
+    def loss_r(y, s, b):
+        return jnp.sum(jnp.sin(_gfn_ref(y, s, b, c, 1e-3)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(y, s, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(y, s, b)
+    for name, a, bb in zip(["dy", "dscale", "dbias"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_group_flat_norm_bf16_error_below_output_quantum(rng):
+    """bf16 path: group sums are exact (bf16 x {0,1} products); the only
+    loss is squaring the centered values in bf16, which must stay below the
+    bf16 quantization of the output itself."""
+    n, g, c = 64, 9, 10
+    f = g * c
+    y = jnp.asarray(rng.normal(size=(n, f)), jnp.bfloat16)
+    s = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    got = pk.group_flat_norm(y, s, b, c, 1e-3,
+                             interpret=True).astype(jnp.float32)
+    want = _gfn_ref(y.astype(jnp.float32), s, b, c, 1e-3)
+    quantum = float(jnp.abs(want).max()) / 256.0   # bf16 has 8 mantissa bits
+    assert float(jnp.abs(got - want).max()) <= 1.5 * quantum
+
+
+def test_group_flat_norm_4d_and_model_path(rng):
+    """The model calls through ResidualS._flat_norm on [B,H,W,F]; pin the
+    pallas lowering against the einsum/XLA lowering of the same module."""
+    from ultrasound_modeling_tpu.models import resnest as rn
+
+    n, g, c = 2 * 8 * 10, 9, 6
+    f = g * c
+    y4 = jnp.asarray(rng.normal(size=(2, 8, 10, f)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    got = pk.group_flat_norm(y4, s, b, c, 1e-3, interpret=True)
+    assert got.shape == y4.shape
+    want = _gfn_ref(y4.reshape(n, f), s, b, c, 1e-3).reshape(y4.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    rn.set_norm_impl("auto")   # restore (paranoia; other tests rely on it)

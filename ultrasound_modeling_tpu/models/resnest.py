@@ -40,6 +40,26 @@ from ultrasound_modeling_tpu.models.common import (
     KERAS_BN_EPS, KERAS_BN_MOMENTUM, KERAS_LN_EPS, Norm, activation,
     avg_pool2, compute_dtype, conv, conv_transpose, he_normal)
 
+# per-branch norm lowering inside the fused split-attention stage:
+# 'auto' = Pallas fused kernel on TPU, einsum/XLA elsewhere.
+_PALLAS_NORM = "auto"
+
+
+def _use_pallas_norm() -> bool:
+    if _PALLAS_NORM == "auto":
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:
+            return False
+    return _PALLAS_NORM == "pallas"
+
+
+def set_norm_impl(impl: str) -> None:
+    """'auto' | 'pallas' | 'xla' — test hook for the fused-stage norm."""
+    global _PALLAS_NORM
+    assert impl in ("auto", "pallas", "xla")
+    _PALLAS_NORM = impl
+
 
 def _vmapped(module_cls, axis_size: int):
     """nn.vmap over independent per-branch parameters, same input."""
@@ -213,12 +233,23 @@ class ResidualS(nn.Module):
         sflat = scale.reshape(-1).astype(jnp.float32)
         bflat = bias.reshape(-1).astype(jnp.float32)
         if self.norm == "layer":
+            if _use_pallas_norm():
+                # single-sweep fused kernel (fwd + custom-VJP bwd): XLA
+                # lowers the einsum formulation below as 3+ full passes
+                # over HBM with a badly tiled [*,F]x[F,F] contraction —
+                # measured ~5 ms/step of the flagship's backward.
+                from ultrasound_modeling_tpu.ops.pallas_kernels import (
+                    group_flat_norm)
+                return group_flat_norm(y, sflat, bflat, c, KERAS_LN_EPS)
             avg = jnp.kron(jnp.eye(f // c, dtype=y.dtype),
                            jnp.full((c, c), 1.0 / c, y.dtype))
+            # HIGHEST: TPU matmuls default to bf16 multiplies, which would
+            # truncate the group stats (~1e-2 relative).
+            hi = lax.Precision.HIGHEST
             mu = jnp.einsum("bhwf,fg->bhwg", y, avg,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=hi)
             s2 = jnp.einsum("bhwf,fg->bhwg", y * y, avg,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=hi)
             var = s2 - mu * mu
             yf = y.astype(jnp.float32)
             out = (yf - mu) * lax.rsqrt(var + KERAS_LN_EPS) * sflat + bflat

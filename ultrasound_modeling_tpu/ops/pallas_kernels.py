@@ -246,6 +246,214 @@ _fused_attn_core.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused per-group channel LayerNorm (flat layout)
+# ---------------------------------------------------------------------------
+#
+# Normalizes each contiguous group of ``gsize`` channels of a flat
+# [N, F = G*gsize] tensor to zero mean / unit variance (per row, per group),
+# then applies per-channel scale and bias — the per-branch "LayerNorm" of the
+# fused split-attention stage (models/resnest.py ResidualS._flat_norm;
+# reference semantics: keras LayerNorm per radix/cardinal branch,
+# ResNest.py:19).  XLA lowers that as three+ full passes over the tensor
+# (mean matmul, var matmul, normalize) with a badly tiled [*,F]x[F,G]
+# contraction (~3.4 TFLOP/s measured); here each row tile is read once,
+# stats ride the MXU on VMEM-resident blocks, and the normalized output is
+# written once.  Backward is a second single-pass kernel (stats recomputed
+# in-VMEM from the saved conv output, LN-style three-term gradient).
+
+
+# Precision scheme: TPU matmuls default to bf16 multiplies, which would
+# truncate the group means (catastrophic cancellation when centering).
+# Instead of paying HIGHEST (6 MXU passes — measured to dominate the
+# kernel), group SUMS are taken with a 0/1 block-diagonal selection matrix:
+# bf16 x {0,1} products are exact with f32 accumulation at DEFAULT
+# precision, so the mean (sum * 1/gsize in f32) is exact to input
+# precision.  The variance terms square in bf16 (~2^-8 relative), which is
+# below the bf16 quantization of the kernel's own output.
+
+
+def _gfn_grp(x, msel_ref, inv: float, hi: bool):
+    """Exact group-mean of ``x`` broadcast back to flat F space: one dot
+    with the 0/1 selection matrix + f32 scale.  ``hi=False`` (bf16 model
+    path): bf16 x {0,1} products are exact at default precision.
+    ``hi=True`` (f32 inputs): pay the HIGHEST-precision passes."""
+    if hi:
+        s = jnp.dot(x, msel_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    else:
+        s = jnp.dot(x.astype(jnp.bfloat16), msel_ref[:],
+                    preferred_element_type=jnp.float32)
+    return s * inv
+
+
+def _gfn_fwd_kernel(y_ref, s_ref, b_ref, msel_ref, out_ref, *, eps: float,
+                    inv: float, hi: bool):
+    y = y_ref[:].astype(jnp.float32)                     # [rows, F]
+    mub = _gfn_grp(y, msel_ref, inv, hi)
+    zc = y - mub
+    varb = _gfn_grp(zc * zc, msel_ref, inv, hi)
+    rstdb = jax.lax.rsqrt(varb + eps)                    # [rows, F]
+    out = zc * rstdb * s_ref[:] + b_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _gfn_bwd_kernel(y_ref, g_ref, s_ref, msel_ref,
+                    dy_ref, ds_ref, db_ref, *, eps: float, inv: float,
+                    hi: bool, n_rows: int, rows: int):
+    i = pl.program_id(0)
+    y = y_ref[:].astype(jnp.float32)                     # [rows, F]
+    g = g_ref[:].astype(jnp.float32)
+    # zero the tail-tile padding rows so the reductions stay exact
+    row = i * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    valid = row < n_rows
+    g = jnp.where(valid, g, 0.0)
+    y = jnp.where(valid, y, 0.0)
+
+    mub = _gfn_grp(y, msel_ref, inv, hi)
+    zc = y - mub
+    varb = _gfn_grp(zc * zc, msel_ref, inv, hi)
+    rstdb = jax.lax.rsqrt(varb + eps)
+    xhat = zc * rstdb                                    # [rows, F]
+
+    sg = g * s_ref[:]
+    t1 = _gfn_grp(sg, msel_ref, inv, hi)
+    t2 = _gfn_grp(sg * xhat, msel_ref, inv, hi)
+    dy = (sg - t1 - xhat * t2) * rstdb
+    dy_ref[:] = jnp.where(valid, dy, 0.0).astype(dy_ref.dtype)
+
+    dspart = jnp.sum(g * xhat, axis=0)                   # [F]
+    dbpart = jnp.sum(g, axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    ds_ref[:] += dspart
+    db_ref[:] += dbpart
+
+
+def _gfn_matrices(f: int, gsize: int):
+    g = f // gsize
+    msel = np.kron(np.eye(g, dtype=np.float32),
+                   np.ones((gsize, gsize), np.float32))   # [F, F], 0/1
+    return (jnp.asarray(msel, jnp.bfloat16),)
+
+
+_GFN_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+
+
+def _gfn_rows(n: int, f: int) -> int:
+    # big tiles: the per-grid-step dots are tiny, so fewer/larger steps
+    # amortize their MXU latency; bounded by the Mosaic scoped-VMEM stack
+    # (f32 intermediates are rows x pad128(F) x 4B each)
+    rows = 2048 if f <= 128 else (1024 if f <= 384 else 512)
+    return min(rows, max(16, n))
+
+
+def _gfn_fwd_pallas(static, y2, scale, bias):
+    gsize, eps, interpret = static
+    n, f = y2.shape
+    rows = _gfn_rows(n, f)
+    (mavg,) = _gfn_matrices(f, gsize)
+    grid = (pl.cdiv(n, rows),)
+    return pl.pallas_call(
+        functools.partial(_gfn_fwd_kernel, eps=eps, inv=1.0 / gsize,
+                          hi=y2.dtype != jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, f), y2.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _GFN_VMEM,
+    )(y2, scale.astype(jnp.float32), bias.astype(jnp.float32), mavg)
+
+
+def _gfn_bwd_pallas(static, y2, scale, g):
+    gsize, eps, interpret = static
+    n, f = y2.shape
+    rows = _gfn_rows(n, f)
+    (mavg,) = _gfn_matrices(f, gsize)
+    grid = (pl.cdiv(n, rows),)
+    kernel = functools.partial(_gfn_bwd_kernel, eps=eps, inv=1.0 / gsize,
+                               hi=y2.dtype != jnp.bfloat16,
+                               n_rows=n, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, f), y2.dtype),
+            jax.ShapeDtypeStruct((f,), jnp.float32),
+            jax.ShapeDtypeStruct((f,), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _GFN_VMEM,
+    )(y2, g, scale.astype(jnp.float32), mavg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gfn_core(static, y2, scale, bias):
+    return _gfn_fwd_pallas(static, y2, scale, bias)
+
+
+def _gfn_core_fwd(static, y2, scale, bias):
+    return _gfn_fwd_pallas(static, y2, scale, bias), (y2, scale)
+
+
+def _gfn_core_bwd(static, res, g):
+    y2, scale = res
+    dy, dscale, dbias = _gfn_bwd_pallas(static, y2, scale, g)
+    return dy, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+_gfn_core.defvjp(_gfn_core_fwd, _gfn_core_bwd)
+
+
+def group_flat_norm(y: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                    gsize: int, eps: float,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Per-group channel LayerNorm over a flat channel axis.
+
+    ``y [..., F]`` with ``F = G * gsize``: each contiguous ``gsize`` slice is
+    normalized to its own mean/variance (computed over that slice, per
+    leading index), then scaled/shifted by the per-channel ``scale``/``bias``
+    (flattened to ``[F]``).  Differentiable (custom VJP; both passes are
+    single-sweep Pallas kernels on TPU, interpret mode elsewhere)."""
+    interpret = (not _on_tpu()) if interpret is None else interpret
+    f = y.shape[-1]
+    if f % gsize:
+        raise ValueError(f"channels {f} not divisible by group size {gsize}")
+    y2 = y.reshape(-1, f)
+    static = (int(gsize), float(eps), bool(interpret))
+    out = _gfn_core(static, y2, scale.reshape(-1), bias.reshape(-1))
+    return out.reshape(y.shape)
+
+
+# ---------------------------------------------------------------------------
 # Fused label2vec + smoothing
 # ---------------------------------------------------------------------------
 
