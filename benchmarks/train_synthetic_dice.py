@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--vit-learned-pos", action="store_true",
                     help="learnable position embeddings (framework "
                          "extension; reference ViT has constant zeros)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override base learning rate")
     ap.add_argument("--loss", default=None,
                     help="override loss family (e.g. factor_scaled)")
     ap.add_argument("--scan", action="store_true",
@@ -54,6 +56,8 @@ def main():
                            epochs=args.epochs)
     if args.loss:
         train_cfg = dc.replace(train_cfg, loss=args.loss)
+    if args.lr:
+        train_cfg = dc.replace(train_cfg, learning_rate=args.lr)
     if args.vit_learned_pos:
         model_cfg = dc.replace(model_cfg, vit_learned_pos=True)
     if args.scan:

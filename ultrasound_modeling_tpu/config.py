@@ -210,8 +210,11 @@ def default_config(model_name: str = "transunet", **overrides) -> Config:
         # 15-channel 256x64 variant (reference: TBIPixelCNN.py:15,21);
         # dual Adam 2e-3/2e-4 beta1=0.5 (reference: TBIPixelCNN.py:256-257).
         model = dataclasses.replace(model, img_size=(256, 64), in_channels=15)
+        # per-class inverse-frequency + factor loss — the PixelCNN's own
+        # my_loss_cat (reference: TBIPixelCNN.py:223-240), not the
+        # TransUNet-family factor_scaled variant.
         train = dataclasses.replace(
-            train, batch_size=256, learning_rate=2e-3, loss="factor_scaled",
+            train, batch_size=256, learning_rate=2e-3, loss="pixelcnn",
             epochs=30)
     cfg = Config(model=model, train=train)
     if overrides:
