@@ -253,6 +253,88 @@ class TestPipelineParallel:
             np.testing.assert_allclose(b_, a, atol=2.5e-3)
 
 
+class TestTpPpComposition:
+    """3-axis (data, model, pipe) mesh: Megatron TP inside each GPipe
+    stage.  Specs put the stacked layer axis on 'pipe' AND the Megatron
+    row/column axis on 'model'; the step matches single-device."""
+
+    def _models(self, mesh, num_micro=4):
+        from ultrasound_modeling_tpu.models.transunet import TransUNet
+        kw = dict(num_classes=3, hidden_size=64, num_heads=4, num_layers=4,
+                  mlp_dim=128, grid=(4, 5), radix=2, kpaths=2)
+        return (TransUNet(**kw),
+                TransUNet(**kw, pp_mesh=mesh, pp_micro=num_micro))
+
+    def test_pp_tp_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from ultrasound_modeling_tpu.parallel.pipeline import (
+            pp_tp_param_specs)
+        mesh = mesh_mod.make_mesh(n_data=2, n_model=2, n_pipe=2)
+        assert mesh.axis_names == ("data", "model", "pipe")
+        model, _ = self._models(mesh)
+        x = jnp.zeros((2, 64, 80, 10), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, False)
+        specs = pp_tp_param_specs(variables["params"])
+        enc = specs["encoder"]["blocks"]["block"]
+        assert enc["attn"]["query_kernel"] == P("pipe", None, "model")
+        assert enc["ffn"]["fc2"]["kernel"] == P("pipe", "model", None)
+        assert enc["attention_norm"]["scale"] == P("pipe", None)
+        assert specs["decoder"]["conv_more"]["kernel"] == P()
+
+    def test_dp_tp_pp_step_matches_single_device(self):
+        from ultrasound_modeling_tpu.parallel.pipeline import (
+            shard_params_pp_tp)
+        mesh = mesh_mod.make_mesh(n_data=2, n_model=2, n_pipe=2)
+        m_ref, m3 = self._models(mesh)
+        tx = optim.make_direction(clip_norm=1.0)
+        b, h, w = 8, 64, 80
+        raw = synthetic.make_raw_array(b, seed=0, height=h, width=w,
+                                       n_disp=10)
+        x = jnp.asarray(raw[:, 0, :, :, 1:-1])
+        y = jnp.asarray(raw[:, 0, :, :, 0])
+        state = step_mod.TrainState.create(
+            m_ref, tx, jnp.zeros((b, h, w, 10), jnp.float32),
+            jax.random.PRNGKey(0))
+        step_ref = step_mod.make_train_step(m_ref, losses.cce_smooth, tx,
+                                            num_classes=3, augment=False,
+                                            donate=False)
+        step3 = step_mod.make_train_step(m3, losses.cce_smooth, tx,
+                                         num_classes=3, augment=False,
+                                         donate=False)
+        s1, loss1, _ = step_ref(state, x, y, jnp.float32(1e-3))
+
+        state3 = shard_params_pp_tp(mesh, state)
+        xs, ys = mesh_mod.shard_batch(mesh, x, y)
+        s2, loss2, _ = step3(state3, xs, ys, jnp.float32(1e-3))
+        np.testing.assert_allclose(float(loss2), float(loss1),
+                                   rtol=2e-5, atol=2e-6)
+        qk = s2.params["encoder"]["blocks"]["block"]["attn"]["query_kernel"]
+        assert qk.sharding.spec[0] == "pipe"
+        assert "model" in (qk.sharding.spec + (None,))[:3]
+        for a, b_ in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                         jax.tree.leaves(jax.device_get(s2.params))):
+            np.testing.assert_allclose(b_, a, atol=2.5e-3)
+
+
+def test_cli_train_dp_tp_pp(tmp_path):
+    """End-to-end: CLI train with --n-devices 2 --tp 2 --pp 2 (3-axis)."""
+    import sys
+    import unittest.mock as mock
+    from ultrasound_modeling_tpu import cli
+    cfgf = tmp_path / "tiny.toml"
+    cfgf.write_text(
+        "[model]\nname = 'transunet'\nhidden_size = 64\nnum_heads = 4\n"
+        "num_layers = 2\nmlp_dim = 128\ngrid = [4, 5]\nradix = 2\n"
+        "kpaths = 2\nimg_size = [64, 80]\n"
+        "[train]\nbatch_size = 8\nepochs = 1\n")
+    argv = ["cli", "train", "--model", "transunet", "--synthetic",
+            "--epochs", "1", "--batch-size", "8", "--n-devices", "2",
+            "--tp", "2", "--pp", "2", "--log-dir", str(tmp_path),
+            "--config", str(cfgf)]
+    with mock.patch.object(sys, "argv", argv):
+        cli.main()
+
+
 def test_cli_train_dp_pp(tmp_path):
     """End-to-end: CLI train with --n-devices 4 --pp 2 on the virtual mesh."""
     import sys

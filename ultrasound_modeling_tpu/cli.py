@@ -102,9 +102,6 @@ def cmd_train(args):
     mesh = None
     tp = max(int(getattr(args, "tp", 1) or 1), 1)
     pp = max(int(getattr(args, "pp", 1) or 1), 1)
-    if tp > 1 and pp > 1:
-        raise SystemExit("--tp and --pp both use the 'model' mesh axis; "
-                         "pick one (dp composes with either)")
     if tp > 1:
         # The fused Pallas attention kernel is a single-device program — it
         # cannot be partitioned over the 'model' axis by GSPMD.  Force the
@@ -112,9 +109,14 @@ def cmd_train(args):
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
-    n_model = max(tp, pp)
-    if (args.n_devices and args.n_devices > 1) or n_model > 1:
-        mesh = mesh_mod.make_mesh(n_data=args.n_devices, n_model=n_model)
+    if tp > 1 and pp > 1:
+        # dp x tp x pp: pipeline stages on a dedicated 'pipe' axis, TP
+        # groups over 'model' inside each stage.
+        mesh = mesh_mod.make_mesh(n_data=args.n_devices, n_model=tp,
+                                  n_pipe=pp)
+    elif (args.n_devices and args.n_devices > 1) or max(tp, pp) > 1:
+        mesh = mesh_mod.make_mesh(n_data=args.n_devices,
+                                  n_model=max(tp, pp))
     ckpt = Checkpointer(args.ckpt) if args.ckpt else None
     trainer = Trainer(cfg, ds, mesh=mesh,
                       logger=MetricLogger(args.log_dir), checkpointer=ckpt,

@@ -204,7 +204,8 @@ class Encoder(nn.Module):
           self.attn_impl, name="blocks")
         use_pp = (self.pp_mesh is not None
                   and not self.is_initializing()
-                  and self.pp_mesh.shape.get("model", 1) > 1)
+                  and (self.pp_mesh.shape.get("pipe", 1) > 1
+                       or self.pp_mesh.shape.get("model", 1) > 1))
         if use_pp:
             x = self._pipelined(x, train)
         else:
@@ -216,15 +217,18 @@ class Encoder(nn.Module):
         (the scanned params created at init are reused verbatim)."""
         import jax as _jax
 
+        from ultrasound_modeling_tpu.parallel.mesh import pipe_axis
         from ultrasound_modeling_tpu.parallel.pipeline import pipeline_stack
 
+        axis = pipe_axis(self.pp_mesh)  # 'pipe' on a dp x tp x pp mesh
         stacked = self.get_variable("params", "blocks")["block"]
-        if self.pp_mesh.shape["model"] > 1:
+        n_stages = self.pp_mesh.shape[axis]
+        if n_stages > 1:
             n_layers = _jax.tree.leaves(stacked)[0].shape[0]
-            if n_layers % self.pp_mesh.shape["model"]:
+            if n_layers % n_stages:
                 raise ValueError(
                     f"num_layers={n_layers} not divisible by pipeline "
-                    f"stages={self.pp_mesh.shape['model']}")
+                    f"stages={n_stages}")
         block = Block(self.hidden_size, self.num_heads, self.mlp_dim,
                       self.dropout_rate, attn_impl=self.attn_impl)
         want_dropout = bool(self.dropout_rate) and train
@@ -238,7 +242,7 @@ class Encoder(nn.Module):
         if self.remat:
             layer_apply = _jax.checkpoint(layer_apply)
         return pipeline_stack(layer_apply, stacked, x, mesh=self.pp_mesh,
-                              num_micro=self.pp_micro or None)
+                              num_micro=self.pp_micro or None, axis=axis)
 
 
 class DecoderBlock(nn.Module):

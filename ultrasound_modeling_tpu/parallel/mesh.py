@@ -25,17 +25,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              n_pipe: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a ``(data, model)`` mesh over the given (default: all) devices."""
+    """Build a ``(data, model)`` mesh — or ``(data, model, pipe)`` when
+    ``n_pipe > 1`` — over the given (default: all) devices.
+
+    The ``pipe`` axis carries GPipe pipeline stages (parallel/pipeline.py)
+    and composes with Megatron TP over ``model``: each pipeline stage is
+    itself a ``model``-wide tensor-parallel group (dp x tp x pp)."""
     devices = list(devices if devices is not None else jax.devices())
+    per_data = n_model * n_pipe
     if n_data is None:
-        n_data = len(devices) // n_model
-    use = devices[: n_data * n_model]
+        n_data = len(devices) // per_data
+    use = devices[: n_data * per_data]
+    if n_pipe > 1:
+        arr = np.array(use).reshape(n_data, n_model, n_pipe)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     arr = np.array(use).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def pipe_axis(mesh: Mesh) -> str:
+    """The axis pipeline stages live on: ``pipe`` when the mesh has one
+    (dp x tp x pp), else ``model`` (the 2-axis dp x pp layout)."""
+    return PIPE_AXIS if mesh.shape.get(PIPE_AXIS, 1) > 1 else MODEL_AXIS
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

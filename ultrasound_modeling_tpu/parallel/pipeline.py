@@ -140,3 +140,31 @@ def shard_params_pp(mesh: Mesh, tree, axis: str = MODEL_AXIS,
     specs = pp_param_specs(tree, axis, stack_key)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)
+
+
+def pp_tp_param_specs(params, pipe_axis: str = "pipe",
+                      stack_key: str = "blocks"):
+    """Combined dp x tp x pp specs: stacked transformer leaves shard their
+    leading layer axis over ``pipe_axis`` AND their Megatron row/column axis
+    over ``model`` (parallel.mesh tp rules); everything else follows the
+    plain TP rules (replicated where no rule matches)."""
+    from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+
+    def leaf_spec(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        tp_spec = mesh_mod._leaf_spec(path, leaf)
+        if stack_key not in names:
+            return tp_spec
+        axes = list(tp_spec) + [None] * (leaf.ndim - len(tp_spec))
+        axes[0] = pipe_axis
+        return P(*axes)
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def shard_params_pp_tp(mesh: Mesh, tree, pipe_axis: str = "pipe",
+                       stack_key: str = "blocks"):
+    """Place a param/opt-state pytree on a (data, model, pipe) mesh with
+    the combined TP + PP sharding."""
+    specs = pp_tp_param_specs(tree, pipe_axis, stack_key)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)

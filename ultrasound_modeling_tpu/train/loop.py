@@ -40,10 +40,13 @@ class Trainer:
             from ultrasound_modeling_tpu.models import common as model_common
             model_common.set_compute_dtype(cfg.model.compute_dtype)
         # 'tp' (Megatron sharding) vs 'pp' (GPipe pipeline) decide how the
-        # mesh 'model' axis is used; with axis size 1 both are no-ops.
+        # mesh 'model' axis is used; with axis size 1 both are no-ops.  A
+        # 3-axis (data, model, pipe) mesh composes both: TP groups over
+        # 'model' inside each pipeline stage on 'pipe'.
         self.parallel = parallel
-        use_pp = (parallel == "pp" and mesh is not None
-                  and mesh.shape.get("model", 1) > 1)
+        has_pipe = mesh is not None and mesh.shape.get("pipe", 1) > 1
+        use_pp = has_pipe or (parallel == "pp" and mesh is not None
+                              and mesh.shape.get("model", 1) > 1)
         if model is None:
             model = build_model(cfg.model, pp_mesh=mesh if use_pp else None,
                                 pp_micro=pp_micro)
@@ -88,7 +91,19 @@ class Trainer:
         self.state = step_mod.TrainState.create(self.model, self.tx, sample, rng)
         if mesh is not None:
             from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
-            if mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
+            tp_size = mesh.shape.get(mesh_mod.MODEL_AXIS, 1)
+            if has_pipe and tp_size > 1:
+                # dp x tp x pp: stacked layer axis over 'pipe' AND Megatron
+                # row/column sharding over 'model' within each stage.
+                from ultrasound_modeling_tpu.parallel.pipeline import (
+                    shard_params_pp_tp)
+                self.state = shard_params_pp_tp(mesh, self.state)
+            elif has_pipe:
+                from ultrasound_modeling_tpu.parallel.pipeline import (
+                    shard_params_pp)
+                self.state = shard_params_pp(mesh, self.state,
+                                             axis=mesh_mod.PIPE_AXIS)
+            elif tp_size > 1:
                 if self.parallel == "pp":
                     # dp x pp: layer axis of the scanned stack sharded across
                     # pipeline stages; each stage holds only its slab's
