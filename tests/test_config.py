@@ -12,7 +12,7 @@ def test_default_config_families():
     assert c.model.img_size == (256, 64) and c.model.in_channels == 6
     assert c.train.loss == "class_balanced" and c.train.eval_every_epochs == 3
     c = cfg_mod.default_config("mobileunet")
-    assert c.model.in_channels == 15 and c.train.loss == "factor_scaled"
+    assert c.model.in_channels == 15 and c.train.loss == "pixelcnn"
     c = cfg_mod.default_config("vit")
     assert c.train.l2_regularization == 1e-5
 

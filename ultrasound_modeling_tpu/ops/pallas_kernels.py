@@ -11,10 +11,11 @@ Three kernels, each with an XLA-composed fallback and an equivalence test
   probs) live in VMEM and never round-trip to HBM.  Window tokens N = wh*ww
   (20 for the 4x5 ultrasound window) are tiny, so the win over XLA is fusing
   the 6-op chain into one pass over HBM.
-* ``ksac_accumulate`` — the shift-accumulate stage of kernel-sharing atrous
-  conv (see ops.ksac): given the per-tap products v [N, H, W, k2, C], emit
-  sum over taps of shifted v for every dilation rate without materializing
-  per-rate intermediates in HBM.
+* ``group_flat_norm`` — per-branch channel LayerNorm of the fused
+  split-attention stage (models/resnest.py) as a single HBM sweep each for
+  forward and the custom-VJP backward; group stats ride the MXU via a 0/1
+  block-diagonal selection matrix (exact bf16 reduction at default
+  precision).
 * ``fused_label2vec_smooth`` — label2vec thresholds + label smoothing in one
   VPU pass (the per-batch label path of every train step).
 
