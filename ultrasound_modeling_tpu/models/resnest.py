@@ -233,11 +233,14 @@ class ResidualS(nn.Module):
         sflat = scale.reshape(-1).astype(jnp.float32)
         bflat = bias.reshape(-1).astype(jnp.float32)
         if self.norm == "layer":
-            if _use_pallas_norm():
-                # single-sweep fused kernel (fwd + custom-VJP bwd): XLA
-                # lowers the einsum formulation below as 3+ full passes
-                # over HBM with a badly tiled [*,F]x[F,F] contraction —
-                # measured ~5 ms/step of the flagship's backward.
+            if train and _use_pallas_norm():
+                # TRAIN path: single-sweep fused kernel (fwd + custom-VJP
+                # bwd).  XLA lowers the einsum formulation below as 3+ full
+                # passes over HBM in the backward, with a badly tiled
+                # [*,F]x[F,F] contraction — measured ~5 ms/step of the
+                # flagship's backward.  EVAL path keeps the einsum: with no
+                # backward to mangle, XLA fuses it into the neighbouring
+                # conv epilogues and beats the kernel by ~15% at batch 256.
                 from ultrasound_modeling_tpu.ops.pallas_kernels import (
                     group_flat_norm)
                 return group_flat_norm(y, sflat, bflat, c, KERAS_LN_EPS)
