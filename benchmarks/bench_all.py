@@ -74,11 +74,15 @@ def bench_model(name, batch, bf16=True, train=False, n_iter=20):
     for _ in range(window):
         run()
     float(run())
-    t0 = time.perf_counter()
-    for _ in range(window - 1):
-        run()
-    float(run())
-    pipelined = (time.perf_counter() - t0) / window
+    # Best of 3 windows: the remote-device tunnel adds multi-ms jitter per
+    # dispatch; the minimum is the stable device-throughput estimate.
+    pipelined = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(window - 1):
+            run()
+        float(run())
+        pipelined = min(pipelined, (time.perf_counter() - t0) / window)
 
     return {
         "model": name, "mode": "train" if train else "infer",
