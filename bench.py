@@ -66,6 +66,9 @@ def _bench_forward(model, x, n_warmup=3, n_iter=20):
     # Best of several windows: the remote-device tunnel adds multi-ms jitter
     # per dispatch, so a single window can read 10-20% slow; the minimum is
     # the stable device-throughput estimate.
+    # METHODOLOGY NOTE: best-of-5 was adopted late in round 1; rows in
+    # benchmarks/results.json / BASELINE.md recorded before commit 16266fc
+    # used a single window and read up to ~10-20% slower on this host link.
     pipelined = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()

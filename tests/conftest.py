@@ -33,3 +33,29 @@ from ultrasound_modeling_tpu.utils import jaxcache  # noqa: E402,F401
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -m fast` is the <120 s CI gate on this 1-core box;
+# `pytest` (no marker) stays the full-depth suite.  Modules are marked here
+# centrally so individual files don't need decoration; the slow set is the
+# model-graph-compile-heavy tier (measured, see tests/README timings in
+# BASELINE.md round 2).
+SLOW_MODULES = {
+    "test_parallel",        # 8-device mesh model steps
+    "test_models",          # full model families fwd/bwd
+    "test_models_extra",
+    "test_train_smoke",     # end-to-end trainer epochs
+    "test_attention_impls",
+    "test_pallas",          # pallas kernels interpret mode
+    "test_bf16",
+    "test_infer_cli",       # full transunet restore + render
+    "test_swin_convert",    # imports tensorflow
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        marker = "slow" if name in SLOW_MODULES else "fast"
+        item.add_marker(getattr(pytest.mark, marker))

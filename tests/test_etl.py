@@ -107,3 +107,79 @@ def test_run_etl_fold_split(tmp_path):
     assert train.shape[0] + test.shape[0] == 4
     assert test.shape[0] >= 1  # count%10==1 fold captured file index 1
     assert paths.shape[0] == train.shape[0]
+
+
+def _fake_tree(tmp_path, patients=("DoD003", "DoD005"), files=2, n_cycles=1):
+    raw = tmp_path / "raw"
+    for p in patients:
+        os.makedirs(raw / p, exist_ok=True)
+        for i in range(files):
+            _fake_mat(str(raw / p / f"{p}_Ter00{i}_RC1_Harmonics_Polar.mat"),
+                      n_cycles=n_cycles)
+    return raw
+
+
+def test_v1_label_mode(tmp_path):
+    """ETL v1 bleed labels: hard bloodMaskThick+1, no blur
+    (reference: DataPreprocessing.py:122,144-146)."""
+    path = str(tmp_path / "p.mat")
+    _fake_mat(path, n_cycles=1)
+    v1 = etl.process_mat_file(path, objective=1, label_mode="v1")[0][..., 0]
+    v2 = etl.process_mat_file(path, objective=1, label_mode="v2")[0][..., 0]
+    # v1 labels come from a binary+1 mask resize: nothing strictly between
+    # the blur-softened band v2 produces around the bleed boundary.
+    assert v1.max() > 1.5 and v1.min() == 0.0
+    # v2 blurs the 1/2 boundary: more intermediate values than v1's resize
+    def frac_between(a):
+        return np.mean((a > 1.05) & (a < 1.95))
+    assert frac_between(v2) > frac_between(v1)
+
+
+def test_run_etl_random_split(tmp_path):
+    """v1 sklearn-seeded random split (DataPreprocessing.py:174-195)."""
+    from sklearn.model_selection import train_test_split
+
+    raw = _fake_tree(tmp_path)
+    out = tmp_path / "out"
+    etl.run_etl(str(raw), str(out), objective=1, max_workers=1,
+                split="random", test_size=0.5, split_seed=42)
+    train = np.load(out / "bleed" / "TrainingData.npy")
+    test = np.load(out / "bleed" / "TestingData.npy")
+    tr_paths = np.load(out / "bleed" / "TrainingPaths.npy")
+    assert train.shape[0] == 2 and test.shape[0] == 2
+    assert train.shape[1:] == (1, 256, 80, 12)
+    assert tr_paths.shape[0] == 2
+    # exact sklearn seed semantics: same split as calling train_test_split
+    # over the sample indices with the same seed
+    idx_tr, idx_te = train_test_split(np.arange(4), test_size=0.5,
+                                      random_state=42)
+    assert sorted(len(a) for a in (idx_tr, idx_te)) == [2, 2]
+
+
+def test_run_etl_waveform(tmp_path):
+    raw = _fake_tree(tmp_path)
+    out = tmp_path / "out"
+    etl.run_etl(str(raw), str(out), objective="waveform", max_workers=1,
+                iteration=1)
+    train = np.load(out / "waveform" / "TrainingData.npy")
+    test = np.load(out / "waveform" / "TestingData.npy")
+    assert train.shape[1:] == (1, 256, 80, 4)
+    assert train.shape[0] + test.shape[0] == 4
+
+
+def test_etl_cli_matrix(tmp_path):
+    """All four ETL modes run end-to-end through the CLI."""
+    from ultrasound_modeling_tpu import cli
+
+    raw = _fake_tree(tmp_path)
+    for objective, folder, extra in [
+            ("0", "brainMask", []),
+            ("1", "bleed", ["--label-mode", "v1",
+                            "--split", "random", "--test-size", "0.5"]),
+            ("waveform", "waveform", []),
+    ]:
+        out = tmp_path / f"out_{objective}"
+        cli.main(["etl", "--raw", str(raw), "--out", str(out),
+                  "--objective", objective, "--workers", "1"] + extra)
+        assert (out / folder / "TrainingData.npy").is_file()
+        assert (out / folder / "TestingPaths.npy").is_file()

@@ -45,11 +45,17 @@ def _add_common(p):
                         "(Megatron-style sharding of the transformer stack; "
                         "total devices = n-devices * tp)")
     p.add_argument("--pp", type=int, default=1,
-                   help="pipeline-parallel stages over the 'model' mesh axis "
-                        "(GPipe schedule on the scanned transformer stack; "
-                        "transunet only; mutually exclusive with --tp)")
+                   help="pipeline-parallel stages (GPipe schedule on the "
+                        "scanned transformer stack; transunet only; composes "
+                        "with --tp/--n-devices into a dp x tp x pp mesh)")
     p.add_argument("--pp-micro", type=int, default=0,
                    help="pipeline microbatches (default 2*stages)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host entry: jax.distributed.initialize from "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID; per-process batches assembled via "
+                        "make_array_from_process_local_data "
+                        "(parallel/distributed.py)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay float32)")
     p.add_argument("--config", default=None,
@@ -97,6 +103,14 @@ def cmd_train(args):
     from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
     from ultrasound_modeling_tpu.utils.logging import MetricLogger
 
+    if getattr(args, "distributed", False):
+        # multi-host entry: initialize the JAX multi-process runtime BEFORE
+        # any devices are touched (parallel/distributed.py; the reference's
+        # abandoned MultiWorkerMirroredStrategy, TBI_ResNest.py:6,463-468)
+        from ultrasound_modeling_tpu.parallel import distributed as dist_mod
+        active = dist_mod.initialize_distributed()
+        print(f"distributed: processes={jax.process_count()} "
+              f"index={jax.process_index()} active={active}")
     cfg = build_config(args)
     ds = build_dataset(cfg, args)
     mesh = None
@@ -109,6 +123,13 @@ def cmd_train(args):
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
+    if pp > 1 and not cfg.model.remat:
+        # GPipe backward saves activations for all m + P - 1 schedule steps
+        # on every stage; per-layer remat is what delivers the module's
+        # stage-local activation-memory scaling, so it is the default
+        # under --pp (parallel/pipeline.py).
+        import dataclasses as dc
+        cfg = dc.replace(cfg, model=dc.replace(cfg.model, remat=True))
     if tp > 1 and pp > 1:
         # dp x tp x pp: pipeline stages on a dedicated 'pipe' axis, TP
         # groups over 'model' inside each stage.
@@ -154,43 +175,175 @@ def cmd_eval(args):
     print({k: round(v, 5) for k, v in summary.items()})
 
 
+def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir):
+    """Build a restored ``x -> probs`` forward for one model config.
+
+    Rebuilds the same TrainState structure the Trainer saves (including the
+    optimizer direction state, which depends on the training config's
+    loss/clip choices) so msgpack/orbax restores match, then closes the
+    forward over the restored state — the TPU-native equivalent of the
+    reference's per-process ``keras.models.load_model``
+    (reference: TBIEvaluator.py:221-236)."""
+    import jax
+    import jax.numpy as jnp
+    from ultrasound_modeling_tpu.models.registry import build_model
+    from ultrasound_modeling_tpu.train import optim, step as step_mod
+    from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
+
+    model = build_model(mcfg)
+    clip = tcfg.clip_global_norm if tcfg.loss != "class_balanced" else None
+    if mcfg.name == "mobileunet":
+        tx = optim.make_dual_rate_direction()
+    else:
+        tx = optim.make_direction(clip_norm=clip,
+                                  weight_decay=tcfg.weight_decay)
+    sample = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
+    state = step_mod.TrainState.create(model, tx, sample,
+                                       jax.random.PRNGKey(0))
+    if ckpt_dir:
+        state = Checkpointer(ckpt_dir).restore(state)
+    fwd = step_mod.make_forward(model)
+    return lambda b: fwd(state, b)
+
+
 def cmd_infer(args):
+    """End-to-end evaluator (the reference's TBIEvaluator product —
+    reference: TBIEvaluator.py:163-373 Polar_Model/Cardiac_Model/PolarProcess/
+    Display): optional brain-mask -> bleed cascade, per-scan cardiac batches
+    from TestingPaths, full polar panel set (prediction / truth / bleed
+    probability / bMode / brain-mask / difference / confusion) and a
+    per-class count summary (checkCount semantics, quantitatively)."""
+    import json
     import numpy as np
     import jax.numpy as jnp
     from ultrasound_modeling_tpu.infer import evaluate as ev
     from ultrasound_modeling_tpu.infer import render
-    from ultrasound_modeling_tpu.train.loop import Trainer
-    from ultrasound_modeling_tpu.train import step as step_mod
-    from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
-    from ultrasound_modeling_tpu.data import labels as labels_mod
 
     cfg = build_config(args)
-    ds = build_dataset(cfg, args)
-    trainer = Trainer(cfg, ds)
-    if args.ckpt:
-        trainer.state = Checkpointer(args.ckpt).restore(trainer.state)
-    forward = step_mod.make_forward(trainer.model)
 
-    x = np.asarray(ds.x_te)
-    y = np.asarray(ds.y_te)
-    probs = ev.run_inference(lambda b: forward(trainer.state, b), x,
-                             batch_size=min(16, x.shape[0]))
+    # -- test data: ETL'd archive (the reference's input product) or the
+    #    dataset test split (synthetic smoke path).
+    paths = bmode = None
+    if getattr(args, "archive", None):
+        x, y, bmode, paths = ev.load_archive(args.archive)
+    else:
+        ds = build_dataset(cfg, args)
+        x = np.asarray(ds.x_te)
+        y = np.asarray(ds.y_te)
+    if getattr(args, "max_frames", 0):
+        x, y = x[: args.max_frames], y[: args.max_frames]
+        bmode = bmode[: args.max_frames] if bmode is not None else None
+        paths = paths[: args.max_frames] if paths is not None else None
+
+    import dataclasses as dc
+    sample_shape = x.shape[1:]
+    bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape, args.ckpt)
+
+    # -- optional cascade: brain-mask model zeroes non-brain input before the
+    #    bleed model runs (reference: TBIEvaluator.py:221-232).
+    if getattr(args, "cascade", None):
+        cascade_family = getattr(args, "cascade_model", None) or args.model
+        if cascade_family == cfg.model.name:
+            brain_mcfg = cfg.model
+            brain_tcfg = cfg.train
+        else:
+            from ultrasound_modeling_tpu.config import default_config
+            brain_def = default_config(cascade_family)
+            brain_mcfg, brain_tcfg = brain_def.model, brain_def.train
+        brain_mcfg = dc.replace(
+            brain_mcfg, num_classes=getattr(args, "cascade_classes", 2) or 2)
+        brain_fwd = _make_forward(brain_mcfg, brain_tcfg, sample_shape,
+                                  args.cascade)
+        cascade = ev.make_cascade(brain_fwd, bleed_fwd, return_mask=True)
+
+        def forward_with_mask(b):
+            return cascade(b)
+    else:
+        def forward_with_mask(b):
+            return bleed_fwd(b), None
+
     out_dir = args.out or "inference_out"
+    os.makedirs(out_dir, exist_ok=True)
     axes = None
     if args.axis_dir and os.path.isdir(args.axis_dir):
         axes = render.load_axes(args.axis_dir)
-    for i in range(probs.shape[0]):
-        comp = np.asarray(ev.composite_probability(jnp.asarray(probs[i])))
+
+    bs = min(16, x.shape[0])
+    nc = cfg.model.num_classes
+
+    def render_frame(i, probs_i, name, mask_i=None):
+        comp = np.asarray(ev.composite_probability(jnp.asarray(probs_i)))
+        counts = ev.class_counts(np.asarray(probs_i), y[i], nc)
         render.render_panels(
-            os.path.join(out_dir, f"frame_{i:04d}.png"), comp, y[i],
-            prob_bleed=probs[i, :, :, -1], axes=axes, title=f"frame {i}")
-    print(f"wrote {probs.shape[0]} panels to {out_dir}")
+            os.path.join(out_dir, f"{name}.png"), comp, y[i],
+            prob_bleed=np.asarray(probs_i[..., -1]),
+            bmode=bmode[i] if bmode is not None else None,
+            mask=mask_i, diff=True, confusion=counts["confusion"],
+            axes=axes, title=name)
+        return counts
+
+    summary = {"frames": [], "totals": {}}
+    n_panels = 0
+    if getattr(args, "cardiac", False) and paths is not None:
+        # per-scan cardiac-cycle batches (reference: TBIEvaluator.py:132-160)
+        for path, start, stop in ev.group_by_path(paths):
+            probs, mk = forward_with_mask(jnp.asarray(x[start:stop]))
+            probs = np.asarray(probs)
+            mk = np.asarray(mk) if mk is not None else None
+            for j in range(probs.shape[0]):
+                i = start + j
+                name = f"{str(path).strip('[]')}_c{j:02d}"
+                counts = render_frame(i, probs[j], name,
+                                      mk[j] if mk is not None else None)
+                summary["frames"].append({"name": name, **{
+                    k: (v.tolist() if hasattr(v, "tolist") else v)
+                    for k, v in counts.items()}})
+                n_panels += 1
+    else:
+        for start in range(0, x.shape[0], bs):
+            stop = min(start + bs, x.shape[0])
+            probs, mk = forward_with_mask(jnp.asarray(x[start:stop]))
+            probs = np.asarray(probs)
+            mk = np.asarray(mk) if mk is not None else None
+            for j in range(probs.shape[0]):
+                i = start + j
+                name = (f"{str(paths[i]).strip(chr(39) + chr(34) + '[] ')}"
+                        f"_{i:04d}"
+                        if paths is not None else f"frame_{i:04d}")
+                counts = render_frame(i, probs[j], name,
+                                      mk[j] if mk is not None else None)
+                summary["frames"].append({"name": name, **{
+                    k: (v.tolist() if hasattr(v, "tolist") else v)
+                    for k, v in counts.items()}})
+                n_panels += 1
+
+    # aggregate per-class counts + confusion over the run
+    tot_conf = np.sum([np.asarray(f["confusion"]) for f in summary["frames"]],
+                      axis=0)
+    summary["totals"] = {
+        "pred_counts": np.sum([f["pred_counts"] for f in summary["frames"]],
+                              axis=0).tolist(),
+        "true_counts": np.sum([f["true_counts"] for f in summary["frames"]],
+                              axis=0).tolist(),
+        "confusion": tot_conf.tolist(),
+        "pixel_accuracy": float(np.trace(tot_conf) / max(tot_conf.sum(), 1)),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(f"wrote {n_panels} panels to {out_dir}")
+    print(f"class counts (pred/true): "
+          f"{summary['totals']['pred_counts']} / "
+          f"{summary['totals']['true_counts']}  "
+          f"pixel_acc={summary['totals']['pixel_accuracy']:.4f}")
 
 
 def cmd_etl(args):
     from ultrasound_modeling_tpu.data.etl import run_etl
-    objective = args.objective if args.objective == "iph" else int(args.objective)
-    run_etl(args.raw, args.out, objective, max_workers=args.workers)
+    objective = (args.objective if args.objective in ("iph", "waveform")
+                 else int(args.objective))
+    run_etl(args.raw, args.out, objective, max_workers=args.workers,
+            label_mode=args.label_mode, split=args.split,
+            test_size=args.test_size, split_seed=args.split_seed)
 
 
 def cmd_bench(args):
@@ -218,13 +371,45 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--out", default=None)
     p.add_argument("--axis-dir", default=None)
+    p.add_argument("--archive", default=None, metavar="DIR",
+                   help="ETL'd archive folder with TestingData.npy + "
+                        "TestingPaths.npy (the reference evaluator's input "
+                        "— TBIEvaluator.py:177-181)")
+    p.add_argument("--cascade", default=None, metavar="BRAIN_CKPT",
+                   help="brain-mask checkpoint dir: run the two-stage "
+                        "brain-mask -> bleed cascade "
+                        "(TBIEvaluator.py:221-232)")
+    p.add_argument("--cascade-model", default=None,
+                   help="model family of the brain-mask checkpoint "
+                        "(default: same as --model)")
+    p.add_argument("--cascade-classes", type=int, default=2,
+                   help="num classes of the brain-mask model (default 2)")
+    p.add_argument("--cardiac", action="store_true",
+                   help="group test rows into per-scan cardiac-cycle "
+                        "batches by TestingPaths (TBIEvaluator.py:132-160)")
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="render at most N frames (0 = all)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("etl")
     p.add_argument("--raw", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--objective", default="1", choices=["0", "1", "iph"],
-                   help="0=brainMask, 1=bleed, iph=pizza_IPH subset")
+    p.add_argument("--objective", default="1",
+                   choices=["0", "1", "iph", "waveform"],
+                   help="0=brainMask, 1=bleed, iph=pizza_IPH subset, "
+                        "waveform=harmonics->waveform synthesis "
+                        "(DataFilePlayGround.py:21-83)")
+    p.add_argument("--label-mode", default="v2", choices=["v2", "v1"],
+                   help="bleed labels: v2=blurred soft blood>normal "
+                        "(DataFilePlayGround.py:330-343), v1=hard "
+                        "bloodMaskThick+1 (DataPreprocessing.py:122,144)")
+    p.add_argument("--split", default="fold", choices=["fold", "random"],
+                   help="fold=count%%10 file fold (v2), random=seeded "
+                        "sklearn train_test_split (v1, "
+                        "DataPreprocessing.py:174-195)")
+    p.add_argument("--test-size", type=float, default=0.5,
+                   help="random-split test fraction (v1 used 0.2/0.5)")
+    p.add_argument("--split-seed", type=int, default=42)
     p.add_argument("--workers", type=int, default=4)
     p.set_defaults(fn=cmd_etl)
 

@@ -119,7 +119,11 @@ class TrainConfig:
     # PiecewiseConstantDecay boundaries/scales (reference: MainNumpy.py:83-88).
     lr_boundaries: Tuple[int, ...] = (2000, 4000, 8000, 10000, 15000)
     lr_values: Tuple[float, ...] = (1.0, 0.3, 0.1, 0.03, 0.01, 0.003)
-    weight_decay: float = 1e-4
+    # Decoupled weight decay (AdamW-style, scaled by the runtime lr so it
+    # follows the piecewise schedule — the reference's scheduled wd lambda,
+    # MainNumpy.py:87-88).  Default 0: the reference's AdamW import is
+    # commented out, so its effective optimizer is plain Adam.
+    weight_decay: float = 0.0
     clip_global_norm: float = 1.0     # reference: VisionTransformer.py:244
     loss: str = "cce_smooth"          # cce_smooth | class_balanced | factor_scaled
     label_smoothing: float = 0.1
@@ -136,6 +140,7 @@ class TrainConfig:
     scan_epochs: bool = False
     log_every: int = 100
     image_every: int = 491            # reference: MainNumpy.py:54
+    image_every_eval: int = 23        # reference: MainNumpy.py:108-113
     checkpoint_every_steps: int = 1000
     max_checkpoints_to_keep: int = 3  # reference: TBI_ResNest.py:65
 

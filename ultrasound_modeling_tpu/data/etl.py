@@ -150,14 +150,25 @@ def fetch_time_data(path: str) -> np.ndarray:
                           axis=-1).astype(np.float32)
 
 
-def process_mat_file(path: str, objective) -> List[np.ndarray]:
+def process_mat_file(path: str, objective,
+                     label_mode: str = "v2") -> List[np.ndarray]:
     """One .mat file -> list of [256, 80, 12] samples (one per cardiac cycle).
 
     ``objective``: 0 = brain-mask labels, 1 = bleed labels
     (reference: DataFilePlayGround.py:286,331-343), "iph" = bloodMaskThick+1
-    labels on the IPH subset (reference: PizzaPlayGround.py:57-100).
+    labels on the IPH subset (reference: PizzaPlayGround.py:57-100),
+    "waveform" = harmonics->waveform synthesis (one [256,80,4] sample per
+    file; reference: DataFilePlayGround.py:21-83).
+
+    ``label_mode`` (objective 1 only): "v2" = Gaussian-blurred soft
+    blood>normal labels (DataFilePlayGround.py:330-343); "v1" = hard
+    ``bloodMaskThick + 1`` labels with no smoothing, the ETL-v1 objective
+    outside the IPH subset (reference: DataPreprocessing.py:122,144-146).
     """
     from scipy.io import loadmat
+
+    if objective == "waveform":
+        return [fetch_time_data(path)]
 
     mat = loadmat(path)
     brain_mask = np.asarray(mat["brainMask"])
@@ -165,10 +176,11 @@ def process_mat_file(path: str, objective) -> List[np.ndarray]:
     displacement = np.asarray(mat["displacement"], np.float64)
     hr_times = np.asarray(mat["hrTimes"])
 
-    if objective == "iph":
+    if objective == "iph" or (objective == 1 and label_mode == "v1"):
         thick = np.asarray(mat.get("bloodMaskThick", np.zeros((0,))))
         if thick.size == 0:
-            # skip files with empty thick masks (PizzaPlayGround.py:68-69)
+            # skip files with empty thick masks (PizzaPlayGround.py:68-69;
+            # v1 breaks out of the file loop, DataPreprocessing.py:126-127)
             return []
         label = build_label_iph(np.nan_to_num(thick), brain_mask)
     else:
@@ -200,13 +212,13 @@ def process_mat_file(path: str, objective) -> List[np.ndarray]:
 
 
 def _patient_worker(args):
-    patient_dir, objective = args
+    patient_dir, objective, label_mode = args
     out = []
     for fname in sorted(os.listdir(patient_dir)):
         if fname.endswith(".mat"):
             path = os.path.join(patient_dir, fname)
             try:
-                samples = process_mat_file(path, objective)
+                samples = process_mat_file(path, objective, label_mode)
             except Exception as exc:  # skip unreadable files like the reference
                 print(f"skipping {path}: {exc}")
                 continue
@@ -220,15 +232,29 @@ IPH_BAD_PATIENTS = (27, 28, 35, 36, 38, 49, 69, 90)
 
 def run_etl(raw_data_path: str, save_path: str, objective,
             iteration: int = 1, cfg: Optional[DataConfig] = None,
-            max_workers: int = 4, seed: int = 20) -> None:
+            max_workers: int = 4, seed: int = 20,
+            label_mode: str = "v2", split: str = "fold",
+            test_size: float = 0.5, split_seed: int = 42) -> None:
     """Full ETL over a raw-data tree (reference: output2DImages,
-    DataFilePlayGround.py:249-493; IPH mode: PizzaPlayGround.py:38-178).
+    DataFilePlayGround.py:249-493; IPH mode: PizzaPlayGround.py:38-178;
+    v1 mode: DataPreprocessing.py:105-196).
 
-    ``objective``: 0 (brainMask folder), 1 (bleed folder), or "iph"
-    (pizza_IPH folder, IPH-patient subset only).
+    ``objective``: 0 (brainMask folder), 1 (bleed folder), "iph"
+    (pizza_IPH folder, IPH-patient subset only), or "waveform"
+    (harmonics->waveform samples, DataFilePlayGround.py:21-83).
+
+    ``label_mode``: "v2" blurred soft labels | "v1" hard bloodMaskThick+1
+    labels (DataPreprocessing.py:122,144-146); objective 1 only.
+
+    ``split``: "fold" = the v2 count%10 file fold
+    (DataFilePlayGround.py:397) | "random" = the v1 sklearn
+    ``train_test_split(test_size, random_state)`` over samples — exact
+    seed-42 shuffle semantics (reference: DataPreprocessing.py:174-195,
+    test_size 0.2/0.5).
     """
     cfg = cfg or DataConfig()
-    folder_name = {0: "brainMask", 1: "bleed", "iph": "pizza_IPH"}[objective]
+    folder_name = {0: "brainMask", 1: "bleed", "iph": "pizza_IPH",
+                   "waveform": "waveform"}[objective]
     folder = os.path.join(save_path, folder_name)
     os.makedirs(folder, exist_ok=True)
     iteration = iteration % 10
@@ -248,33 +274,48 @@ def run_etl(raw_data_path: str, save_path: str, objective,
             continue
         if objective == "iph" and patient_num not in cfg.iph_patients:
             continue  # IPH subset only (PizzaPlayGround.py:47-48,170)
-        jobs.append((os.path.join(raw_data_path, p), objective))
+        jobs.append((os.path.join(raw_data_path, p), objective, label_mode))
 
-    training, testing, train_paths, test_paths = [], [], [], []
-    count = 0
     if max_workers > 1:
         with ProcessPoolExecutor(max_workers=max_workers) as pool:
             results = list(pool.map(_patient_worker, jobs))
     else:
         results = [_patient_worker(j) for j in jobs]
-    for per_patient in results:
-        for path_name, samples in per_patient:
-            for image in samples:
-                # 10% fold by file counter (reference: DataFilePlayGround.py:397).
-                if count % 10 == iteration:
-                    testing.append([image])
-                    test_paths.append([path_name])
-                else:
-                    training.append([image])
-                    train_paths.append([path_name])
-            count += 1
 
-    perm = np.random.default_rng(seed + 1).permutation(len(training))
-    training = np.asarray(training)[perm]
-    train_paths = np.asarray(train_paths)[perm]
-    np.save(os.path.join(folder, "TrainingData.npy"), training)
+    if split == "random":
+        # v1 semantics: pool every sample, then one seeded sklearn split
+        # (reference: DataPreprocessing.py:174-195).
+        from sklearn.model_selection import train_test_split
+
+        data, names = [], []
+        for per_patient in results:
+            for path_name, samples in per_patient:
+                for image in samples:
+                    data.append([image])
+                    names.append([path_name])
+        training, testing, train_paths, test_paths = train_test_split(
+            np.asarray(data), np.asarray(names),
+            test_size=test_size, random_state=split_seed)
+    else:
+        training, testing, train_paths, test_paths = [], [], [], []
+        count = 0
+        for per_patient in results:
+            for path_name, samples in per_patient:
+                for image in samples:
+                    # 10% fold by file counter (DataFilePlayGround.py:397).
+                    if count % 10 == iteration:
+                        testing.append([image])
+                        test_paths.append([path_name])
+                    else:
+                        training.append([image])
+                        train_paths.append([path_name])
+                count += 1
+        perm = np.random.default_rng(seed + 1).permutation(len(training))
+        training = np.asarray(training)[perm]
+        train_paths = np.asarray(train_paths)[perm]
+    np.save(os.path.join(folder, "TrainingData.npy"), np.asarray(training))
     np.save(os.path.join(folder, "TestingData.npy"), np.asarray(testing))
-    np.save(os.path.join(folder, "TrainingPaths.npy"), train_paths)
+    np.save(os.path.join(folder, "TrainingPaths.npy"), np.asarray(train_paths))
     np.save(os.path.join(folder, "TestingPaths.npy"), np.asarray(test_paths))
 
 

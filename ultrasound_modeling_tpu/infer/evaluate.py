@@ -31,18 +31,25 @@ def composite_probability(probs: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - probs[..., 0] - 0.5 * probs[..., 1] + probs[..., 2]
 
 
-def make_cascade(brain_forward: Callable, bleed_forward: Callable):
+def make_cascade(brain_forward: Callable, bleed_forward: Callable,
+                 return_mask: bool = False):
     """Fused two-stage cascade (reference: TBIEvaluator.py:221-238).
 
     Both args are ``x -> probs`` callables (closed over their params).
+    With ``return_mask`` the cascade also emits the rounded brain mask
+    (1 inside the brain) for the Brain_Mask display panel
+    (reference: TBIEvaluator.py:301-307).
     """
 
     @jax.jit
-    def cascade(x: jnp.ndarray) -> jnp.ndarray:
+    def cascade(x: jnp.ndarray):
         mask_probs = brain_forward(x)
         outside = jnp.round(mask_probs[..., 0])  # 1 where outside brain
         x = jnp.where(outside[..., None] == 1.0, 0.0, x)
-        return bleed_forward(x)
+        probs = bleed_forward(x)
+        if return_mask:
+            return probs, 1.0 - outside
+        return probs
 
     return cascade
 
@@ -103,3 +110,51 @@ def split_eval_file(raw: np.ndarray, index: int
     x = raw[index, :, :, :, 1:-1].reshape(
         1, raw.shape[2], raw.shape[3], -1)
     return x.astype(np.float32), y, bmode
+
+
+def load_archive(archive_dir: str):
+    """Load an ETL'd test archive folder (the evaluator's input product —
+    reference: TBIEvaluator.py:177-181 loads ``TestingData.npy`` +
+    ``TestingPaths.npy`` from the processed folder).
+
+    Returns ``(x [N,H,W,C], y [N,H,W], bmode [N,H,W], paths [N] or None)``
+    with preProcess1 channel semantics (label ch0, displacement 1:-1,
+    bMode last — reference: TBIEvaluator.py:76-84).
+    """
+    import os
+
+    raw = np.load(os.path.join(archive_dir, "TestingData.npy"))
+    if raw.ndim == 5:   # [N, 1, H, W, 12] ETL layout (Dataset_2.py:31-43)
+        raw = raw[:, 0]
+    y = raw[..., 0].astype(np.float32)
+    bmode = raw[..., -1].astype(np.float32)
+    x = raw[..., 1:-1].astype(np.float32)
+    paths = None
+    ppath = os.path.join(archive_dir, "TestingPaths.npy")
+    if os.path.isfile(ppath):
+        paths = np.load(ppath)
+    return x, y, bmode, paths
+
+
+def class_counts(probs: np.ndarray, truth: np.ndarray, num_classes: int = 3):
+    """Per-frame class-count summary + confusion matrix.
+
+    ``probs`` ``[H,W,C]`` model output, ``truth`` ``[H,W]`` scalar soft label.
+    Predicted class = argmax; true class = the label2vec thresholds rounded
+    to a hard class (>=1.05 -> bleed, >0.95 -> brain — Dataset_2.py:6-20).
+    Returns a dict with ``pred_counts``, ``true_counts`` (pixels per class)
+    and ``confusion`` (rows = true, cols = predicted).  This is the
+    quantitative form of the reference's visual checkCount/Display loop
+    (reference: TBIEvaluator.py:319-325,357-373).
+    """
+    pred = np.argmax(probs, axis=-1)
+    true = np.where(truth >= 1.05, 2, np.where(truth > 0.95, 1, 0))
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for t in range(num_classes):
+        for p in range(num_classes):
+            conf[t, p] = int(np.sum((true == t) & (pred == p)))
+    return {
+        "pred_counts": [int(np.sum(pred == c)) for c in range(num_classes)],
+        "true_counts": [int(np.sum(true == c)) for c in range(num_classes)],
+        "confusion": conf,
+    }

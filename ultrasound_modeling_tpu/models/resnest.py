@@ -253,7 +253,9 @@ class ResidualS(nn.Module):
                             preferred_element_type=jnp.float32, precision=hi)
             s2 = jnp.einsum("bhwf,fg->bhwg", y * y, avg,
                             preferred_element_type=jnp.float32, precision=hi)
-            var = s2 - mu * mu
+            # One-pass variance cancels catastrophically when |mean| >> std;
+            # clamp so var + eps can't go negative under rsqrt.
+            var = jnp.maximum(s2 - mu * mu, 0.0)
             yf = y.astype(jnp.float32)
             out = (yf - mu) * lax.rsqrt(var + KERAS_LN_EPS) * sflat + bflat
             return out.astype(y.dtype)

@@ -235,6 +235,11 @@ class Encoder(nn.Module):
         base_key = self.make_rng("dropout") if want_dropout else None
 
         def layer_apply(lp, h, fold):
+            # NOTE: dropout keys here are fold_in(base, layer + micro*P)
+            # streams, a DIFFERENT stream than the nn.scan split_rngs used by
+            # the local path — pp-vs-scan runs with dropout>0 are not
+            # expected to be bitwise reproducible (dropout=0 paths are; see
+            # test_parallel.py pins).
             rngs = ({"dropout": _jax.random.fold_in(base_key, fold)}
                     if want_dropout else None)
             return block.apply({"params": lp}, h, train, rngs=rngs)

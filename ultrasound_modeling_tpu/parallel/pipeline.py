@@ -28,6 +28,12 @@ Design (idiomatic JAX, not a port of anything):
 
 Bubble fraction is ``(P-1)/(M+P-1)``; pick ``num_micro >= 2*P`` (the default)
 to keep it under a third.
+
+Activation memory: params/opt-state/grads scale per stage as above, but the
+backward of the scheduled ``lax.scan`` saves activations for all ``M + P - 1``
+steps on every stage unless the layer body is rematerialized — so the CLI
+enables per-layer ``remat`` by default under ``--pp`` (cli.py cmd_train);
+stage-local *activation* scaling holds only with remat on.
 """
 
 from __future__ import annotations
@@ -73,9 +79,16 @@ def pipeline_stack(layer_apply: Callable, stacked_params, x: jnp.ndarray,
         return h
 
     batch = x.shape[0]
-    m = num_micro or min(batch, 2 * n_stages)
-    while batch % m:
-        m -= 1
+    if num_micro:
+        if batch % num_micro:
+            raise ValueError(
+                f"num_micro={num_micro} does not divide the local batch "
+                f"{batch}; pick a divisor (bubble fraction depends on it)")
+        m = num_micro
+    else:
+        m = min(batch, 2 * n_stages)
+        while batch % m:
+            m -= 1
     layers_per_stage = jax.tree.leaves(stacked_params)[0].shape[0] // n_stages
 
     def local(slab, x_local):

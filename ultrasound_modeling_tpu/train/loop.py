@@ -64,7 +64,8 @@ class Trainer:
             # dual Adam rates, beta1 0.5 (reference: TBIPixelCNN.py:256-257)
             self.tx = optim.make_dual_rate_direction()
         else:
-            self.tx = optim.make_direction(clip_norm=clip)
+            self.tx = optim.make_direction(clip_norm=clip,
+                                           weight_decay=tc.weight_decay)
         self.schedule = optim.piecewise_constant(
             tc.learning_rate, tc.lr_boundaries, tc.lr_values)
         self.plateau_scale = 1.0
@@ -126,6 +127,14 @@ class Trainer:
 
     def _place_batch(self, x, y):
         if self.mesh is not None:
+            import jax as _jax
+            if _jax.process_count() > 1:
+                # multi-host: this process holds only its local batch rows;
+                # assemble the global sharded array over all hosts
+                # (parallel/distributed.py, SURVEY §2.4)
+                from ultrasound_modeling_tpu.parallel import (
+                    distributed as dist_mod)
+                return dist_mod.global_batch_from_local(self.mesh, x, y)
             from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
             return mesh_mod.shard_batch(self.mesh, x, y)
         return x, y
@@ -204,11 +213,22 @@ class Trainer:
     def evaluate(self, epoch: int, batch_size: Optional[int] = None
                  ) -> Dict[str, float]:
         bs = batch_size or min(16, self.dataset.num_te)
+        tc = self.cfg.train
         mstate = metrics.zeros(self.cfg.model.num_classes)
+        eval_iter = 0
         while True:
             x, y, terminator = self.dataset.next_test(bs)
             x, y = self._place_batch(x, y)
-            mstate, _, _ = self.eval_step(self.state, mstate, x, y)
+            mstate, _, probs = self.eval_step(self.state, mstate, x, y)
+            eval_iter += 1
+            if tc.image_every_eval and eval_iter % tc.image_every_eval == 0:
+                # test-set pred|truth panels (reference: MainNumpy.py:108-113)
+                import numpy as _np
+                from ultrasound_modeling_tpu.data import labels as _labels
+                self.logger.images(
+                    self.iteration + eval_iter, "val", _np.asarray(probs[0]),
+                    _np.asarray(_labels.label2vec(
+                        y[0], self.cfg.model.num_classes)))
             if terminator:
                 break
         summary = {k: float(v) for k, v in metrics.summarize(mstate).items()}

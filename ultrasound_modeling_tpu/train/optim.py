@@ -39,14 +39,23 @@ def piecewise_constant(base: float, boundaries: Sequence[int],
 
 
 def make_direction(clip_norm: Optional[float] = 1.0,
-                   b1: float = 0.9, b2: float = 0.999
+                   b1: float = 0.9, b2: float = 0.999,
+                   weight_decay: float = 0.0
                    ) -> optax.GradientTransformation:
     """Clip + Adam *direction* (no lr scale — the train step applies the
-    runtime learning rate; see train.step.make_train_step)."""
+    runtime learning rate; see train.step.make_train_step).
+
+    ``weight_decay`` adds decoupled (AdamW-style) decay AFTER the Adam
+    rescale; since the step multiplies the whole update by the runtime lr,
+    the effective decay follows the piecewise schedule — the intent of the
+    reference's scheduled wd lambda (reference: MainNumpy.py:87-88, whose
+    AdamW import is commented out there)."""
     parts = []
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
     parts.append(optax.scale_by_adam(b1=b1, b2=b2))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
     return optax.chain(*parts)
 
 
