@@ -1,0 +1,107 @@
+"""Measure the CPU inference baseline that `bench.py` compares against.
+
+The reference runs inference on CPU (CUDA explicitly disabled —
+reference: TBIEvaluator.py:28) with a batch-1 forward per fork'd process
+(reference: TBIEvaluator.py:198,235).  Round 1 estimated that baseline at
+2 fps; this harness measures it:
+
+1. this framework's flagship TransUNet, batch-1 forward, JAX CPU backend
+   (the apples-to-apples own-stack CPU number), and
+2. (when TensorFlow is importable) the reference's own TransUNet
+   (VisionTransformer.py) built from /root/reference, batch-1 eager-free
+   forward on CPU — the true reference path, minus the per-image process
+   fork + model reload the reference also pays.
+
+Writes one JSON line with both numbers; BENCH_CPU_FPS for bench.py should be
+the measured reference fps (or the own-stack number when TF is absent).
+
+Run:  JAX_PLATFORMS=cpu python benchmarks/cpu_baseline.py
+(CPU-only so the TPU tunnel is not involved; takes a few minutes on this
+1-core box.)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def time_fn(fn, n_warmup=2, n_iter=10):
+    for _ in range(n_warmup):
+        fn()
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def own_stack_cpu_fps():
+    import jax
+    import jax.numpy as jnp
+
+    from ultrasound_modeling_tpu.config import default_config
+    from ultrasound_modeling_tpu.models.registry import build_model
+
+    cfg = default_config("transunet")
+    model = build_model(cfg.model)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 256, 80, 10)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd(p, xx):
+        return model.apply(p, xx)
+
+    def run():
+        np.asarray(fwd(params, x))
+
+    sec = time_fn(run)
+    return 1.0 / sec, sec
+
+
+def reference_tf_cpu_fps():
+    """Build the reference's own TransUNet from /root/reference and time a
+    batch-1 CPU forward.  Import-only use for measurement; nothing is
+    copied."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    sys.path.insert(0, "/root/reference")
+    try:
+        import VisionTransformer as ref_vt  # noqa: N813
+    except Exception as exc:
+        return None, None, f"import failed: {exc}"
+    try:
+        net = ref_vt.VisionTransformer(1, (256, 80), 3)
+        import tensorflow as tf
+        x = tf.constant(np.random.default_rng(0).normal(
+            size=(1, 256, 80, 10)), tf.float32)
+        model = net.visionModel
+
+        def run():
+            model(x, training=False)
+
+        sec = time_fn(run, n_warmup=2, n_iter=10)
+        return 1.0 / sec, sec, None
+    except Exception as exc:
+        return None, None, f"build/run failed: {exc}"
+
+
+def main():
+    own_fps, own_sec = own_stack_cpu_fps()
+    out = {"own_cpu_fps_b1": round(own_fps, 3),
+           "own_cpu_ms_b1": round(own_sec * 1e3, 1)}
+    if "--skip-tf" not in sys.argv:
+        ref_fps, ref_sec, err = reference_tf_cpu_fps()
+        if ref_fps is not None:
+            out["reference_tf_cpu_fps_b1"] = round(ref_fps, 3)
+            out["reference_tf_cpu_ms_b1"] = round(ref_sec * 1e3, 1)
+        else:
+            out["reference_tf_error"] = err
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,14 +19,18 @@ the default:
 Run on the TPU: python benchmarks/decoder_fuse_probe.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ultrasound_modeling_tpu.models.blocks import Norm, activation, conv
+from ultrasound_modeling_tpu.models.common import Norm, activation, conv
 
 # (H, W, C_in, C_out) for decoder blocks 0/1/2 of the flagship at batch 64
 # (head 256 -> up 256 + skip 256 cat -> 512; later blocks with hidden

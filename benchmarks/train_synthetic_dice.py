@@ -38,6 +38,9 @@ def main():
                     help="override loss family (e.g. factor_scaled)")
     ap.add_argument("--scan", action="store_true",
                     help="lax.scan'd whole-epoch device program")
+    ap.add_argument("--class-factor", default=None,
+                    help="comma-separated per-class loss scale override "
+                         "(factor-family losses), e.g. '0.05,0.03,0.92'")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -58,6 +61,9 @@ def main():
         train_cfg = dc.replace(train_cfg, loss=args.loss)
     if args.lr:
         train_cfg = dc.replace(train_cfg, learning_rate=args.lr)
+    if args.class_factor:
+        train_cfg = dc.replace(train_cfg, class_factor=tuple(
+            float(v) for v in args.class_factor.split(",")))
     if args.vit_learned_pos:
         model_cfg = dc.replace(model_cfg, vit_learned_pos=True)
     if args.scan:

@@ -112,3 +112,58 @@ def test_swin_grads_finite_on_zeroed_input(rng):
     g = jax.grad(lossf)(v["params"])
     for leaf in jax.tree.leaves(g):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_decoder_block_fused_bn_exact():
+    """fuse_bn=True (one BatchNorm over the concat) must equal the
+    reference-shaped four per-branch BatchNorms EXACTLY: BN stats/params are
+    per-channel, so concat-then-normalize == normalize-then-concat
+    (models/transunet.py DecoderBlock; reference: Decoder.py:61-91)."""
+    import jax
+    import jax.numpy as jnp
+    from ultrasound_modeling_tpu.models.transunet import DecoderBlock
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 24)), jnp.float32)
+    skip = jnp.asarray(rng.normal(size=(2, 16, 20, 8)), jnp.float32)
+
+    branch = DecoderBlock(16, fuse_bn=False)
+    fused = DecoderBlock(16, fuse_bn=True)
+    vb = branch.init(jax.random.PRNGKey(0), x, skip, True)
+
+    # map branch params/stats -> fused (concat the four BN param vectors;
+    # Norm nests an anonymous BatchNorm_0 submodule)
+    def to_fused(tree):
+        out = {}
+        for k, v in tree.items():
+            if k.startswith("bn"):
+                stage = k.split("_")[0]          # bn1_0 -> bn1
+                inner = v["BatchNorm_0"]
+                out.setdefault(stage, {"BatchNorm_0": {}})
+                for leaf, arr in inner.items():
+                    out[stage]["BatchNorm_0"].setdefault(leaf, []).append(arr)
+            else:
+                out[k] = v
+        for stage in ("bn1", "bn2"):
+            out[stage]["BatchNorm_0"] = {
+                leaf: jnp.concatenate(parts)
+                for leaf, parts in out[stage]["BatchNorm_0"].items()}
+        return out
+
+    vf = {"params": to_fused(vb["params"]),
+          "batch_stats": to_fused(vb["batch_stats"])}
+
+    for train in (True, False):
+        yb, sb = branch.apply(vb, x, skip, train, mutable=["batch_stats"])
+        yf, sf = fused.apply(vf, x, skip, train, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(yf),
+                                   atol=1e-6, rtol=1e-6)
+        # running stats update identically too
+        mb = to_fused(sb["batch_stats"])
+        for stage in ("bn1", "bn2"):
+            for leaf in mb[stage]["BatchNorm_0"]:
+                np.testing.assert_allclose(
+                    np.asarray(mb[stage]["BatchNorm_0"][leaf]),
+                    np.asarray(
+                        sf["batch_stats"][stage]["BatchNorm_0"][leaf]),
+                    atol=1e-6, rtol=1e-6)

@@ -126,6 +126,10 @@ class TrainConfig:
     weight_decay: float = 0.0
     clip_global_norm: float = 1.0     # reference: VisionTransformer.py:244
     loss: str = "cce_smooth"          # cce_smooth | class_balanced | factor_scaled
+    # Optional per-class scale override for the factor-family losses
+    # (factor_scaled / pixelcnn / evaluator); None keeps the reference
+    # constants.
+    class_factor: Optional[Tuple[float, ...]] = None
     label_smoothing: float = 0.1
     class_factor: Tuple[float, ...] = (0.06329, 0.027567, 0.90914)
     eval_every_epochs: int = 5        # reference: MainNumpy.py:80

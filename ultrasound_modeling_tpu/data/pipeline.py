@@ -134,6 +134,9 @@ class Dataset:
             self.y_te = jnp.asarray(y_te)
         else:
             self.x_tr, self.y_tr, self.x_te, self.y_te = x_tr, y_tr, x_te, y_te
+        # Out-of-core shards do synchronous host gathers in next_train; the
+        # Trainer overlaps them with device compute via prefetch().
+        self.device_resident = device_resident
         self.num_tr = int(self.x_tr.shape[0])
         self.num_te = int(self.x_te.shape[0])
         self.idx_tr = 0

@@ -253,9 +253,23 @@ class Encoder(nn.Module):
 class DecoderBlock(nn.Module):
     """Transposed-conv upsample + skip concat + two 4-branch dilated conv
     stages (reference: Decoder.py:7-94).  Branch dilations 1 (as 1x1), 2, 4, 8;
-    each branch BatchNorm'd; concat then LeakyReLU."""
+    each branch BatchNorm'd; concat then LeakyReLU.
+
+    ``fuse_bn``: collapse the four per-branch BatchNorms into ONE BatchNorm
+    over the concatenated channels — numerically EXACT, since BatchNorm
+    statistics and affine params are per-channel, so concat-then-normalize
+    equals normalize-then-concat (equivalence-tested in test_models_extra).
+    Measured (v5e): ISOLATED stage fwd+bwd it wins -11% across the three
+    decoder shapes (benchmarks/decoder_fuse_probe.py), but in the FULL
+    flagship train step it LOSES 5% (benchmarks/decoder_ab.py, interleaved
+    single-process A/B: 54.2 vs 51.5 ms @ b64) — in the whole graph XLA
+    fuses each small per-branch BN into its conv's epilogue, while the wide
+    concat BN forces a separate stats pass.  Default therefore stays False
+    (also the reference-shaped param tree); the restructure is kept as an
+    option because the isolated win shows it is shape-dependent."""
 
     out_channels: int
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, skip: Optional[jnp.ndarray] = None,
@@ -269,9 +283,13 @@ class DecoderBlock(nn.Module):
             for b, (ksz, dil) in enumerate(((1, 1), (3, 2), (3, 4), (3, 8))):
                 y = conv(self.out_channels // 4, ksz, dilation=dil,
                          name=f"conv{stage}_{b}")(x)
-                y = Norm("batch", name=f"bn{stage}_{b}")(y, train)
+                if not self.fuse_bn:
+                    y = Norm("batch", name=f"bn{stage}_{b}")(y, train)
                 branches.append(y)
-            x = leaky(jnp.concatenate(branches, axis=-1))
+            x = jnp.concatenate(branches, axis=-1)
+            if self.fuse_bn:
+                x = Norm("batch", name=f"bn{stage}")(x, train)
+            x = leaky(x)
         return x
 
 
@@ -303,6 +321,7 @@ class DecoderCup(nn.Module):
     head_channels: int = 256
     skip_channels: Tuple[int, ...] = (256, 128, 64)
     block_kind: str = "dilated"
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, features=None, train: bool = False):
@@ -313,13 +332,15 @@ class DecoderCup(nn.Module):
         x = conv(self.head_channels, 3, name="conv_more")(x)
         x = Norm("layer", name="bn1")(x, train)
         x = activation("leaky")(x)
-        block_cls = (KSACDecoderBlock if self.block_kind == "ksac"
-                     else DecoderBlock)
         for i, ch in enumerate(self.skip_channels):
             skip = None
             if features is not None and i < len(features):
                 skip = features[i]
-            x = block_cls(ch, name=f"block_{i}")(x, skip, train)
+            if self.block_kind == "ksac":
+                x = KSACDecoderBlock(ch, name=f"block_{i}")(x, skip, train)
+            else:
+                x = DecoderBlock(ch, fuse_bn=self.fuse_bn,
+                                 name=f"block_{i}")(x, skip, train)
             # Re-concat the raw transformer hidden states, reshaped to this
             # scale (reference: Decoder.py:140-141).
             scale = 2 ** (i + 1)
@@ -346,6 +367,9 @@ class TransUNet(nn.Module):
     ksize: int = 3
     dropout_rate: float = 0.0
     decoder_kind: str = "dilated"  # 'dilated' | 'ksac'
+    # One BatchNorm over each decoder stage's branch concat (exact but
+    # measured slower in the full step; see DecoderBlock.fuse_bn).
+    decoder_fuse_bn: bool = False
     remat: bool = False
     attn_impl: str = "xla"
     pp_mesh: Optional[Any] = None   # pipeline the transformer stack (Encoder)
@@ -373,4 +397,5 @@ class TransUNet(nn.Module):
                           name="encoder")(emb, train)
         return DecoderCup(self.num_classes, self.grid,
                           block_kind=self.decoder_kind,
+                          fuse_bn=self.decoder_fuse_bn,
                           name="decoder")(encoded, features, train)

@@ -57,6 +57,14 @@ class Trainer:
 
         tc = cfg.train
         self.loss_fn = losses.get_loss(tc.loss)
+        if getattr(tc, "class_factor", None):
+            # override the constant per-class scale of the factor-family
+            # losses (reference constants: VisionTransformer.py:262,
+            # TBIPixelCNN.py:231; override used for class-frequency
+            # recomputation on other datasets)
+            import functools
+            self.loss_fn = functools.partial(
+                self.loss_fn, class_factor=tuple(tc.class_factor))
         clip = tc.clip_global_norm if tc.loss != "class_balanced" else None
         # (the standalone ResNeSt U-Net applies no clipping —
         #  reference: TBI_ResNest.py:43-46)
@@ -173,6 +181,14 @@ class Trainer:
             "epoch": epoch, "epoch_loss": last_loss, "frames_per_sec": fps})
         return {"loss": last_loss, "frames_per_sec": fps, "iters": n_iters}
 
+    def _epoch_batches(self, batch_size: int):
+        """Cursor-API epoch generator (host side), for prefetch wrapping."""
+        while True:
+            x, y, terminator = self.dataset.next_train(batch_size)
+            yield x, y, terminator
+            if terminator:
+                return
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         if self.epoch_step is not None:
             return self.train_epoch_scanned(epoch)
@@ -180,9 +196,21 @@ class Trainer:
         t0 = time.time()
         last_loss = None
         n_iters = 0
-        while True:
-            x, y, terminator = self.dataset.next_train(tc.batch_size)
-            x, y = self._place_batch(x, y)
+        if not getattr(self.dataset, "device_resident", True):
+            # Out-of-core: the host row-gather (native/npy_loader.cpp or the
+            # mmap fallback) is synchronous, so run it — and the device
+            # placement — in a producer thread, double-buffered, overlapping
+            # I/O with the previous step's compute (data.pipeline.prefetch;
+            # replaces the reference's tf.data AUTOTUNE host threading).
+            from ultrasound_modeling_tpu.data.pipeline import prefetch
+            batches = prefetch(
+                self._epoch_batches(tc.batch_size), size=2,
+                place=lambda b: (*self._place_batch(b[0], b[1]), b[2]))
+        else:
+            batches = self._epoch_batches(tc.batch_size)
+        for x, y, terminator in batches:
+            if getattr(self.dataset, "device_resident", True):
+                x, y = self._place_batch(x, y)
             self.state, loss, probs = self.train_step(
                 self.state, x, y, jnp.float32(self.current_lr()))
             self.iteration += 1
