@@ -38,6 +38,9 @@ def main():
                     help="override loss family (e.g. factor_scaled)")
     ap.add_argument("--scan", action="store_true",
                     help="lax.scan'd whole-epoch device program")
+    ap.add_argument("--vit-conv-stem", action="store_true",
+                    help="small strided conv stem before the patch embed "
+                         "(framework extension; see models/vit.py)")
     ap.add_argument("--class-factor", default=None,
                     help="comma-separated per-class loss scale override "
                          "(factor-family losses), e.g. '0.05,0.03,0.92'")
@@ -66,6 +69,8 @@ def main():
             float(v) for v in args.class_factor.split(",")))
     if args.vit_learned_pos:
         model_cfg = dc.replace(model_cfg, vit_learned_pos=True)
+    if args.vit_conv_stem:
+        model_cfg = dc.replace(model_cfg, vit_conv_stem=True)
     if args.scan:
         train_cfg = dc.replace(train_cfg, scan_epochs=True)
     cfg = cfg.replace(model=model_cfg, train=train_cfg)

@@ -167,3 +167,22 @@ def test_decoder_block_fused_bn_exact():
                     np.asarray(
                         sf["batch_stats"][stage]["BatchNorm_0"][leaf]),
                     atol=1e-6, rtol=1e-6)
+
+
+def test_vit_conv_stem_shapes():
+    """Framework extension: conv-stem ViT keeps the output geometry
+    (models/vit.py conv_stem)."""
+    import jax
+    import jax.numpy as jnp
+    from ultrasound_modeling_tpu.models.vit import ViTSegmenter
+
+    # hidden*seq must fill H*W*k for the seq-to-plane reshape:
+    # 128*160 = 256*80*1.
+    m = ViTSegmenter(hidden_size=128, num_heads=2, num_layers=1,
+                     mlp_dim=64, grid=(16, 10), img_size=(256, 80),
+                     conv_stem=True)
+    x = jnp.zeros((1, 256, 80, 10), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 256, 80, 3)
+    assert "stem_0" in params["params"]

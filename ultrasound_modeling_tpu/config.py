@@ -90,6 +90,7 @@ class ModelConfig:
     # Parity default False: the reference's pos embeddings are constant
     # zeros (TBI_Transformer.py:106).  True = learnable (standard ViT).
     vit_learned_pos: bool = False
+    vit_conv_stem: bool = False  # framework extension; see models/vit.py
     # Swin constants (reference: SwinTransformer.py:8-21,163).
     window: Tuple[int, int] = (4, 5)
     swin_embed_dim: int = 96
@@ -131,7 +132,6 @@ class TrainConfig:
     # constants.
     class_factor: Optional[Tuple[float, ...]] = None
     label_smoothing: float = 0.1
-    class_factor: Tuple[float, ...] = (0.06329, 0.027567, 0.90914)
     eval_every_epochs: int = 5        # reference: MainNumpy.py:80
     # Reactive plateau decay (reference: TBI_ResNest.py:407-412).
     plateau_decay: float = 0.2

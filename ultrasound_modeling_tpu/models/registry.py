@@ -51,6 +51,7 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             num_heads=cfg.vit_heads, num_layers=cfg.vit_layers,
             grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size),
             learned_pos=cfg.vit_learned_pos,
+            conv_stem=getattr(cfg, "vit_conv_stem", False),
             attn_impl=_resolve_impl(cfg.attn_impl))
     if name == "swin":
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter

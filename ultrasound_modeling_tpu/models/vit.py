@@ -36,6 +36,13 @@ class ViTSegmenter(nn.Module):
     # (the standard ViT design), which is what lets the segmenter localize
     # (measured: held-out brain Dice 0.06 -> see BASELINE.md).
     learned_pos: bool = False
+    # Framework extension (off for parity): a small strided conv stem before
+    # the patch embedding.  The pure reference ViT never learns the bleed
+    # class (c2 Dice = 0.00 across sweeps; proven equivalent to the TF
+    # reference in benchmarks/vit_reference_crosscheck.py) because detecting
+    # the bleed needs local per-pixel displacement statistics that a 16x8
+    # linear patch projection destroys; a tiny conv stem restores them.
+    conv_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,6 +50,18 @@ class ViTSegmenter(nn.Module):
         gh, gw = self.grid
         patch = (h // gh, w // gw)  # (16, 8)
         b = x.shape[0]
+        if self.conv_stem:
+            # 3x3 convs at stride 2 twice (keeps the grid math: the patch
+            # conv then runs at patch/4 on the 4x-downsampled map), LeakyReLU
+            # between — enough receptive mixing for the displacement
+            # statistics the bleed class needs.
+            for i, ch in enumerate((64, 128)):
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                            dtype=compute_dtype(),
+                            bias_init=nn.initializers.normal(0.02),
+                            name=f"stem_{i}")(x)
+                x = nn.leaky_relu(x, negative_slope=0.2)
+            patch = (patch[0] // 4, patch[1] // 4)  # (4, 2) on the /4 map
         # Patch-conv embedding (reference: TBI_Transformer.py:103-105).
         # Non-zero bias init: all-zero input patches (displacement is zeroed
         # outside the brain) would otherwise embed to constant rows, whose

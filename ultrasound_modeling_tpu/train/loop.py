@@ -57,7 +57,8 @@ class Trainer:
 
         tc = cfg.train
         self.loss_fn = losses.get_loss(tc.loss)
-        if getattr(tc, "class_factor", None):
+        if tc.class_factor is not None and tc.loss in (
+                "factor_scaled", "pixelcnn", "evaluator"):
             # override the constant per-class scale of the factor-family
             # losses (reference constants: VisionTransformer.py:262,
             # TBIPixelCNN.py:231; override used for class-frequency
