@@ -27,6 +27,10 @@ import time
 
 import numpy as np
 
+# Runnable as `python benchmarks/cpu_baseline.py` (sys.path[0] is then
+# benchmarks/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def time_fn(fn, n_warmup=2, n_iter=10):
     for _ in range(n_warmup):
