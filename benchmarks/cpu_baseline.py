@@ -74,34 +74,76 @@ def reference_tf_cpu_fps():
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
     sys.path.insert(0, "/root/reference")
     try:
+        import tensorflow as tf
+
+        # Keras 3 compat: the reference's TF2-era `AveragePooling2D()`
+        # (Decoder.py:26) relied on the then-default pool_size=(2, 2);
+        # Keras 3 made the argument required.  Shim the default back in so
+        # the reference builds unmodified.
+        _AvgPool = tf.keras.layers.AveragePooling2D
+
+        # NB: no leading underscore — the class name becomes a TF scope name.
+        class AvgPoolCompat(_AvgPool):
+            def __init__(self, pool_size=(2, 2), *a, **k):
+                super().__init__(pool_size, *a, **k)
+
+        tf.keras.layers.AveragePooling2D = AvgPoolCompat
         import VisionTransformer as ref_vt  # noqa: N813
     except Exception as exc:
         return None, None, f"import failed: {exc}"
     try:
+        # Keras 3 cannot build the reference's functional `visionModel`
+        # (keras.Input through non-layer ops is now rejected), so skip the
+        # Model wrapper and time `forward` directly — which is also what the
+        # reference's own inference path runs (TBIEvaluator.py:238 calls the
+        # loaded model eagerly, layer by layer, per batch-1 frame).
+        ref_vt.VisionTransformer.model = lambda self: None
         net = ref_vt.VisionTransformer(1, (256, 80), 3)
-        import tensorflow as tf
         x = tf.constant(np.random.default_rng(0).normal(
             size=(1, 256, 80, 10)), tf.float32)
-        model = net.visionModel
 
-        def run():
-            model(x, training=False)
+        import contextlib
+        import io
 
-        sec = time_fn(run, n_warmup=2, n_iter=10)
-        return 1.0 / sec, sec, None
+        def run_eager():
+            with contextlib.redirect_stdout(io.StringIO()):
+                net.forward(x)  # reference prints shapes every call
+
+        sec_eager = time_fn(run_eager, n_warmup=2, n_iter=10)
+
+        try:
+            fwd = tf.function(lambda xx: net.forward(xx))
+            with contextlib.redirect_stdout(io.StringIO()):
+                fwd(x)  # trace
+
+            def run_graph():
+                fwd(x)
+
+            sec_graph = time_fn(run_graph, n_warmup=2, n_iter=10)
+        except Exception:
+            sec_graph = None
+        if sec_graph is None:
+            return 1.0 / sec_eager, sec_eager, None, None, None
+        return (1.0 / sec_eager, sec_eager, 1.0 / sec_graph, sec_graph, None)
     except Exception as exc:
-        return None, None, f"build/run failed: {exc}"
+        return None, None, None, None, f"build/run failed: {exc}"
 
 
 def main():
-    own_fps, own_sec = own_stack_cpu_fps()
-    out = {"own_cpu_fps_b1": round(own_fps, 3),
-           "own_cpu_ms_b1": round(own_sec * 1e3, 1)}
+    out = {}
+    if "--skip-own" not in sys.argv:
+        own_fps, own_sec = own_stack_cpu_fps()
+        out = {"own_cpu_fps_b1": round(own_fps, 3),
+               "own_cpu_ms_b1": round(own_sec * 1e3, 1)}
     if "--skip-tf" not in sys.argv:
-        ref_fps, ref_sec, err = reference_tf_cpu_fps()
-        if ref_fps is not None:
-            out["reference_tf_cpu_fps_b1"] = round(ref_fps, 3)
-            out["reference_tf_cpu_ms_b1"] = round(ref_sec * 1e3, 1)
+        (eager_fps, eager_sec, graph_fps, graph_sec,
+         err) = reference_tf_cpu_fps()
+        if eager_fps is not None:
+            out["reference_tf_eager_cpu_fps_b1"] = round(eager_fps, 3)
+            out["reference_tf_eager_cpu_ms_b1"] = round(eager_sec * 1e3, 1)
+            if graph_fps is not None:
+                out["reference_tf_graph_cpu_fps_b1"] = round(graph_fps, 3)
+                out["reference_tf_graph_cpu_ms_b1"] = round(graph_sec * 1e3, 1)
         else:
             out["reference_tf_error"] = err
     print(json.dumps(out))
