@@ -186,3 +186,48 @@ def test_vit_conv_stem_shapes():
     out = m.apply(params, x)
     assert out.shape == (1, 256, 80, 3)
     assert "stem_0" in params["params"]
+
+
+def test_remat_conv_numerically_identical():
+    """``remat_conv=True`` (jax.checkpoint around ResNeSt stages + decoder
+    blocks) must be a pure scheduling change: same param tree, same forward,
+    same gradients, same batch_stats updates as the default step."""
+    from ultrasound_modeling_tpu.models.transunet import TransUNet
+
+    kw = dict(num_classes=3, hidden_size=64, num_heads=4, num_layers=2,
+              mlp_dim=128, grid=(4, 5), radix=2, kpaths=2)
+    base = TransUNet(**kw)
+    remat = TransUNet(remat_conv=True, **kw)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 80, 10)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(2, 64, 80, 3)), jnp.float32)
+    vb = base.init(jax.random.PRNGKey(0), x)
+    vr = remat.init(jax.random.PRNGKey(0), x)
+    # identical param trees (remat is a lifted transform, not a re-parent)
+    assert (jax.tree_util.tree_structure(vb)
+            == jax.tree_util.tree_structure(vr))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), vb, 0.0)),
+        np.asarray(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), vr, 0.0)), rtol=1e-6)
+
+    def loss_fn(model):
+        def f(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": vb["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.mean((out - y) ** 2), upd
+        return f
+
+    (lb, ub), gb = jax.value_and_grad(loss_fn(base), has_aux=True)(vb["params"])
+    (lr, ur), gr = jax.value_and_grad(loss_fn(remat), has_aux=True)(vb["params"])
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lr), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4), gb, gr)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
+        ub["batch_stats"], ur["batch_stats"])

@@ -58,6 +58,10 @@ def _add_common(p):
                         "(parallel/distributed.py)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay float32)")
+    p.add_argument("--remat-conv", action="store_true",
+                   help="jax.checkpoint the conv stages (ResNeSt stages + "
+                        "decoder blocks): trades idle MXU FLOPs for HBM "
+                        "bytes in the bandwidth-bound train step")
     p.add_argument("--config", default=None,
                    help="TOML config file (overrides per-family defaults)")
     p.add_argument("--resume", action="store_true",
@@ -89,6 +93,8 @@ def build_config(args):
     model = dc.replace(cfg.model, num_classes=args.num_classes)
     if getattr(args, "bf16", False):
         model = dc.replace(model, compute_dtype="bfloat16")
+    if getattr(args, "remat_conv", False):
+        model = dc.replace(model, remat_conv=True)
     train = cfg.train
     if args.batch_size:
         train = dc.replace(train, batch_size=args.batch_size)

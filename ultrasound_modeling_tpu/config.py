@@ -107,6 +107,11 @@ class ModelConfig:
     # Rematerialize transformer blocks in the backward pass (memory-bound
     # big-batch training).
     remat: bool = False
+    # Rematerialize the conv stages (ResNeSt split-attention stages +
+    # decoder blocks): the train step is HBM-bandwidth-bound (~11% MXU,
+    # BASELINE.md), so recomputing stage forwards instead of persisting
+    # their intermediates trades idle MXU FLOPs for HBM bytes.
+    remat_conv: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

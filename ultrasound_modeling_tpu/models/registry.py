@@ -35,6 +35,7 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             mlp_dim=cfg.mlp_dim, grid=tuple(cfg.grid), radix=cfg.radix,
             kpaths=cfg.kpaths, ksize=cfg.ksize,
             dropout_rate=cfg.dropout_rate, remat=cfg.remat,
+            remat_conv=cfg.remat_conv,
             attn_impl=_resolve_impl(cfg.attn_impl),
             pp_mesh=pp_mesh, pp_micro=pp_micro)
     if pp_mesh is not None:
@@ -43,7 +44,8 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
     if name == "resnest_unet":
         from ultrasound_modeling_tpu.models.resnest import ResNeStUNet
         return ResNeStUNet(num_classes=cfg.num_classes, ksize=cfg.ksize,
-                           radix=cfg.radix, kpaths=cfg.kpaths)
+                           radix=cfg.radix, kpaths=cfg.kpaths,
+                           remat=cfg.remat_conv)
     if name == "vit":
         from ultrasound_modeling_tpu.models.vit import ViTSegmenter
         return ViTSegmenter(

@@ -430,9 +430,16 @@ class ResNeStEncoder(nn.Module):
     ksize: int = 3
     radix: int = 3
     kpaths: int = 3
+    # Rematerialize each split-attention stage in the backward pass
+    # (jax.checkpoint).  The train step is HBM-bandwidth-bound at ~11% MXU
+    # (BASELINE.md), so recomputing a stage's forward instead of persisting
+    # its intermediates trades idle MXU FLOPs for HBM bytes.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stage_cls = (nn.remat(ResidualS, static_argnums=(2,)) if self.remat
+                     else ResidualS)
         leaky = activation("leaky")
         x = conv(16, 3, name="initial_conv")(x)
         x = leaky(x)
@@ -443,16 +450,16 @@ class ResNeStEncoder(nn.Module):
         x = Norm("batch", name="convtmp_2bn")(x, train)
         x = leaky(x)
         x = avg_pool2(x)
-        x1 = ResidualS(64, self.ksize, self.radix, self.kpaths,
+        x1 = stage_cls(64, self.ksize, self.radix, self.kpaths,
                        norm="layer", act="leaky", name="stage1")(x, train)
         x = avg_pool2(x1)
-        x2 = ResidualS(128, self.ksize, self.radix, self.kpaths,
+        x2 = stage_cls(128, self.ksize, self.radix, self.kpaths,
                        norm="layer", act="leaky", name="stage2")(x, train)
         x = avg_pool2(x2)
-        x3 = ResidualS(256, self.ksize, self.radix, self.kpaths,
+        x3 = stage_cls(256, self.ksize, self.radix, self.kpaths,
                        norm="layer", act="leaky", name="stage3")(x, train)
         x = avg_pool2(x3)
-        x4 = ResidualS(512, self.ksize, self.radix, self.kpaths,
+        x4 = stage_cls(512, self.ksize, self.radix, self.kpaths,
                        norm="layer", act="leaky", name="stage4")(x, train)
         return x4, [x3, x2, x1]
 
@@ -485,9 +492,12 @@ class ResNeStUNet(nn.Module):
     ksize: int = 3
     radix: int = 3
     kpaths: int = 3
+    remat: bool = False  # jax.checkpoint each split-attention stage
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stage = (nn.remat(ResidualS, static_argnums=(2,)) if self.remat
+                 else ResidualS)
         elu = activation("elu")
         rs = dict(ksize=self.ksize, radix=self.radix, kpaths=self.kpaths,
                   norm="batch", act="elu", shortcut_always=False)
@@ -501,15 +511,15 @@ class ResNeStUNet(nn.Module):
         x = elu(x)
 
         pool1 = avg_pool2(x)
-        c1 = ResidualS(64, name="conv2_1", **rs)(pool1, train)
+        c1 = stage(64, name="conv2_1", **rs)(pool1, train)
         pool2 = avg_pool2(c1)
-        c2 = ResidualS(128, name="conv2_2", **rs)(pool2, train)
+        c2 = stage(128, name="conv2_2", **rs)(pool2, train)
         pool3 = avg_pool2(c2)
-        c3 = ResidualS(256, name="conv3_1", **rs)(pool3, train)
+        c3 = stage(256, name="conv3_1", **rs)(pool3, train)
         pool4 = avg_pool2(c3)
-        c4 = ResidualS(512, name="conv3_2", **rs)(pool4, train)
+        c4 = stage(512, name="conv3_2", **rs)(pool4, train)
         pool5 = avg_pool2(c4)
-        c5 = ResidualS(512, name="conv4_1", **rs)(pool5, train)
+        c5 = stage(512, name="conv4_1", **rs)(pool5, train)
         pool6 = avg_pool2(c5)
 
         u = _Upsample(512, True, name="upsample_0")(pool6, train)

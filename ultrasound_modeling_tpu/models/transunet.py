@@ -322,6 +322,7 @@ class DecoderCup(nn.Module):
     skip_channels: Tuple[int, ...] = (256, 128, 64)
     block_kind: str = "dilated"
     fuse_bn: bool = False
+    remat: bool = False  # jax.checkpoint each decoder block (HBM-bytes win)
 
     @nn.compact
     def __call__(self, hidden_states, features=None, train: bool = False):
@@ -337,10 +338,14 @@ class DecoderCup(nn.Module):
             if features is not None and i < len(features):
                 skip = features[i]
             if self.block_kind == "ksac":
-                x = KSACDecoderBlock(ch, name=f"block_{i}")(x, skip, train)
+                blk_cls = (nn.remat(KSACDecoderBlock, static_argnums=(3,))
+                           if self.remat else KSACDecoderBlock)
+                x = blk_cls(ch, name=f"block_{i}")(x, skip, train)
             else:
-                x = DecoderBlock(ch, fuse_bn=self.fuse_bn,
-                                 name=f"block_{i}")(x, skip, train)
+                blk_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
+                           if self.remat else DecoderBlock)
+                x = blk_cls(ch, fuse_bn=self.fuse_bn,
+                            name=f"block_{i}")(x, skip, train)
             # Re-concat the raw transformer hidden states, reshaped to this
             # scale (reference: Decoder.py:140-141).
             scale = 2 ** (i + 1)
@@ -371,6 +376,11 @@ class TransUNet(nn.Module):
     # measured slower in the full step; see DecoderBlock.fuse_bn).
     decoder_fuse_bn: bool = False
     remat: bool = False
+    # jax.checkpoint the conv stages (ResNeSt encoder stages + decoder
+    # blocks): recompute their forward in the backward pass instead of
+    # persisting intermediates.  The train step is HBM-bound at ~11% MXU
+    # (BASELINE.md), so this trades idle FLOPs for the bytes that bound it.
+    remat_conv: bool = False
     attn_impl: str = "xla"
     pp_mesh: Optional[Any] = None   # pipeline the transformer stack (Encoder)
     pp_micro: int = 0
@@ -381,7 +391,8 @@ class TransUNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats_bottleneck, features = ResNeStEncoder(
-            self.ksize, self.radix, self.kpaths, name="hybrid")(x, train)
+            self.ksize, self.radix, self.kpaths, remat=self.remat_conv,
+            name="hybrid")(x, train)
         # 1x1-conv patch embed on the 16x5 bottleneck
         # (reference: VisionTransformer.py:106-107).
         emb = conv(self.hidden_size, 1, name="patch_embeddings")(feats_bottleneck)
@@ -398,4 +409,5 @@ class TransUNet(nn.Module):
         return DecoderCup(self.num_classes, self.grid,
                           block_kind=self.decoder_kind,
                           fuse_bn=self.decoder_fuse_bn,
+                          remat=self.remat_conv,
                           name="decoder")(encoded, features, train)
