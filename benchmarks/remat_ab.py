@@ -69,8 +69,13 @@ def main():
     lr = jnp.float32(1e-3)
     sr, stepr, xr, yr = make_step(args.model, args.batch, True)
     sb, stepb, xb, yb = make_step(args.model, args.batch, False)
+    t0 = time.perf_counter()
+    print("compiling remat...", flush=True)
     float(stepr(sr, xr, yr, lr)[1])  # compile remat
+    print(f"remat compiled in {time.perf_counter() - t0:.0f}s", flush=True)
+    t0 = time.perf_counter()
     float(stepb(sb, xb, yb, lr)[1])  # compile base
+    print(f"base compiled in {time.perf_counter() - t0:.0f}s", flush=True)
     best = {"remat": float("inf"), "base": float("inf")}
     for w in range(N_WINDOWS):
         for tag, (s0, step, x, y) in (("remat", (sr, stepr, xr, yr)),
