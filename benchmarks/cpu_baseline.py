@@ -45,6 +45,13 @@ def time_fn(fn, n_warmup=2, n_iter=10):
 
 def own_stack_cpu_fps():
     import jax
+
+    # The dev box's axon sitecustomize force-sets jax_platforms="axon,cpu"
+    # at register() time, OVERRIDING the JAX_PLATFORMS env var — so without
+    # this explicit config update the "CPU" forward silently runs on the
+    # remote TPU.  (tests/conftest.py does the same for the test tier.)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
     import jax.numpy as jnp
 
     from ultrasound_modeling_tpu.config import default_config

@@ -93,6 +93,10 @@ def main():
     ref_probs = np.asarray(t(x))
 
     import jax
+
+    # The axon sitecustomize overrides JAX_PLATFORMS at register() time, so
+    # force the CPU backend through jax.config (env alone is not enough).
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ultrasound_modeling_tpu.models.vit import ViTSegmenter

@@ -159,3 +159,45 @@ def test_cascade_numerics_match_manual(tmp_path, small_cfg, archive):
     np.testing.assert_allclose(np.asarray(probs), np.asarray(want),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(mask), 1.0 - np.asarray(outside))
+
+
+def test_infer_cli_cardiac_interleaved_paths(tmp_path, small_cfg):
+    """A shuffled archive (etl --split random) interleaves scans in
+    TestingPaths; cardiac panel numbering must continue per scan across
+    non-consecutive groups instead of restarting at _c00 (which silently
+    overwrote earlier panels)."""
+    d = tmp_path / "arch_shuf"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    raw = rng.normal(size=(5, 1, H, W, 12)).astype(np.float32)
+    raw[..., 0] = rng.uniform(0, 2, size=(5, 1, H, W))
+    np.save(d / "TestingData.npy", raw)
+    np.save(d / "TestingPaths.npy",
+            np.array([["scanA"], ["scanB"], ["scanA"], ["scanB"],
+                      ["scanA"]]))
+    ckpt = _make_ckpt(tmp_path / "ck", small_cfg, 3)
+    out = tmp_path / "panels_shuf"
+    cli.main(["infer", "--model", "transunet", "--config", small_cfg,
+              "--archive", str(d), "--ckpt", ckpt, "--cardiac",
+              "--out", str(out)])
+    pngs = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    assert pngs == ["scanA_c00.png", "scanA_c01.png", "scanA_c02.png",
+                    "scanB_c00.png", "scanB_c01.png"]
+    with open(out / "summary.json") as fh:
+        summary = json.load(fh)
+    assert len(summary["frames"]) == 5
+    assert len({f["name"] for f in summary["frames"]}) == 5
+
+
+def test_class_counts_two_class():
+    """2-class (brain-mask) runs must bucket every pixel (label2vec's
+    num_classes==2 branch, Dataset_2.py:14-19) instead of dropping
+    label-2 pixels from the confusion totals."""
+    from ultrasound_modeling_tpu.infer import evaluate as ev
+    probs = np.zeros((2, 2, 2), np.float32)
+    probs[..., 1] = 1.0            # everything predicted "brain"
+    truth = np.array([[0.0, 0.4], [1.0, 2.0]], np.float32)
+    c = ev.class_counts(probs, truth, num_classes=2)
+    assert sum(c["true_counts"]) == 4      # no pixel vanishes
+    assert c["true_counts"] == [2, 2]      # 0.4 -> 0; 1.0 and 2.0 -> 1
+    assert np.asarray(c["confusion"]).sum() == 4

@@ -290,38 +290,56 @@ def cmd_infer(args):
 
     summary = {"frames": [], "totals": {}}
     n_panels = 0
-    if getattr(args, "cardiac", False) and paths is not None:
-        # per-scan cardiac-cycle batches (reference: TBIEvaluator.py:132-160)
-        for path, start, stop in ev.group_by_path(paths):
-            probs, mk = forward_with_mask(jnp.asarray(x[start:stop]))
-            probs = np.asarray(probs)
-            mk = np.asarray(mk) if mk is not None else None
-            for j in range(probs.shape[0]):
-                i = start + j
-                name = f"{str(path).strip('[]')}_c{j:02d}"
-                counts = render_frame(i, probs[j], name,
-                                      mk[j] if mk is not None else None)
-                summary["frames"].append({"name": name, **{
-                    k: (v.tolist() if hasattr(v, "tolist") else v)
-                    for k, v in counts.items()}})
-                n_panels += 1
-    else:
-        for start in range(0, x.shape[0], bs):
-            stop = min(start + bs, x.shape[0])
-            probs, mk = forward_with_mask(jnp.asarray(x[start:stop]))
-            probs = np.asarray(probs)
-            mk = np.asarray(mk) if mk is not None else None
-            for j in range(probs.shape[0]):
-                i = start + j
-                name = (f"{str(paths[i]).strip(chr(39) + chr(34) + '[] ')}"
-                        f"_{i:04d}"
-                        if paths is not None else f"frame_{i:04d}")
-                counts = render_frame(i, probs[j], name,
-                                      mk[j] if mk is not None else None)
-                summary["frames"].append({"name": name, **{
-                    k: (v.tolist() if hasattr(v, "tolist") else v)
-                    for k, v in counts.items()}})
-                n_panels += 1
+
+    # One forward pass in fixed-size batches for BOTH modes — the last batch
+    # is padded to `bs` so the whole run costs exactly one XLA compile (the
+    # per-scan cardiac groups have varying lengths; feeding each group as a
+    # whole batch would recompile per distinct length, and each compile is
+    # 30s+ on a remote-device link).  Batch-1-independent eval-mode forward,
+    # so batching does not change numerics.
+    probs_chunks, mask_chunks = [], []
+    n_total = x.shape[0]
+    for start in range(0, n_total, bs):
+        stop = min(start + bs, n_total)
+        xb = np.asarray(x[start:stop])
+        pad = bs - xb.shape[0]
+        if pad:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)], axis=0)
+        probs, mk = forward_with_mask(jnp.asarray(xb))
+        probs_chunks.append(np.asarray(probs)[: stop - start])
+        mask_chunks.append(
+            np.asarray(mk)[: stop - start] if mk is not None else None)
+    probs_all = np.concatenate(probs_chunks, axis=0)
+    mask_all = (np.concatenate(mask_chunks, axis=0)
+                if mask_chunks and mask_chunks[0] is not None else None)
+
+    def frame_names():
+        """(index, panel name) per frame.  Cardiac mode numbers cycles
+        within each scan (reference: TBIEvaluator.py:132-160) with a
+        per-scan counter that survives non-consecutive groups (a shuffled
+        --split random archive interleaves scans; restarting at _c00 per
+        group would overwrite earlier panels)."""
+        if getattr(args, "cardiac", False) and paths is not None:
+            cycle_no = {}
+            for path, start, stop in ev.group_by_path(paths):
+                key = str(path).strip("[]")
+                for j in range(stop - start):
+                    k = cycle_no.get(key, 0)
+                    cycle_no[key] = k + 1
+                    yield start + j, f"{key}_c{k:02d}"
+        else:
+            for i in range(n_total):
+                yield i, (f"{str(paths[i]).strip(chr(39) + chr(34) + '[] ')}"
+                          f"_{i:04d}"
+                          if paths is not None else f"frame_{i:04d}")
+
+    for i, name in frame_names():
+        counts = render_frame(i, probs_all[i], name,
+                              mask_all[i] if mask_all is not None else None)
+        summary["frames"].append({"name": name, **{
+            k: (v.tolist() if hasattr(v, "tolist") else v)
+            for k, v in counts.items()}})
+        n_panels += 1
 
     # aggregate per-class counts + confusion over the run
     tot_conf = np.sum([np.asarray(f["confusion"]) for f in summary["frames"]],
@@ -360,7 +378,24 @@ def cmd_bench(args):
         os.path.abspath(__file__))), "bench.py"), run_name="__main__")
 
 
+def _honor_jax_platforms_env():
+    """Make the documented ``JAX_PLATFORMS=cpu`` workflow actually work:
+    site plugins (e.g. the axon TPU register) may force
+    ``jax_platforms`` through ``jax.config`` at interpreter start, which
+    silently overrides the env var — a "CPU" run then executes on the
+    remote device.  If the user set JAX_PLATFORMS explicitly and the
+    config disagrees, the env wins."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+    have = jax.config.jax_platforms
+    if have and have != want and not str(have).startswith(want):
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
+    _honor_jax_platforms_env()
     parser = argparse.ArgumentParser(prog="ultrasound_modeling_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -148,7 +148,15 @@ def class_counts(probs: np.ndarray, truth: np.ndarray, num_classes: int = 3):
     (reference: TBIEvaluator.py:319-325,357-373).
     """
     pred = np.argmax(probs, axis=-1)
-    true = np.where(truth >= 1.05, 2, np.where(truth > 0.95, 1, 0))
+    if num_classes == 2:
+        # brain-mask task: labels are {0, 1} soft masks (the 2-class
+        # label2vec branch, Dataset_2.py:14-19) — round at 0.5 so every
+        # pixel lands in a class instead of silently vanishing from the
+        # confusion totals.
+        true = np.where(truth > 0.5, 1, 0)
+    else:
+        true = np.where(truth >= 1.05, 2, np.where(truth > 0.95, 1, 0))
+        true = np.minimum(true, num_classes - 1)
     conf = np.zeros((num_classes, num_classes), np.int64)
     for t in range(num_classes):
         for p in range(num_classes):

@@ -32,9 +32,19 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     Returns True when a multi-process runtime is active afterwards.  With no
     arguments and no ``JAX_COORDINATOR_ADDRESS``/cloud-TPU environment, this
     is a single-process no-op — the same binary runs unchanged on one host.
+
+    ORDERING: nothing here may touch the XLA backend before
+    ``jax.distributed.initialize`` — even ``jax.process_count()`` initializes
+    it (and caches its answer), after which initialize() raises.  The
+    already-initialized check therefore reads the client state directly.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    try:
+        from jax._src import distributed as _dist_state
+        already = getattr(_dist_state.global_state, "client", None) is not None
+    except Exception:   # private API moved: fall back to the public call,
+        already = jax.process_count() > 1   # accepting its backend init
+    if already:
+        return jax.process_count() > 1  # already initialized
     env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None and env_coord is None \
             and num_processes is None:

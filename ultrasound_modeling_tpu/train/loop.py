@@ -138,12 +138,23 @@ class Trainer:
         if self.mesh is not None:
             import jax as _jax
             if _jax.process_count() > 1:
-                # multi-host: this process holds only its local batch rows;
-                # assemble the global sharded array over all hosts
-                # (parallel/distributed.py, SURVEY §2.4)
+                # multi-host: every process loads the same archive and draws
+                # the same global batch (same cursor order), so carve out THIS
+                # process's rows and contribute only those — otherwise the
+                # assembled global array would hold P duplicated copies
+                # (silently scaling sum-reduced losses by P).  Then assemble
+                # the global sharded array over all hosts
+                # (parallel/distributed.py, SURVEY §2.4).
                 from ultrasound_modeling_tpu.parallel import (
                     distributed as dist_mod)
-                return dist_mod.global_batch_from_local(self.mesh, x, y)
+                n = x.shape[0]
+                if n % _jax.process_count():
+                    raise ValueError(
+                        f"global batch {n} not divisible by process count "
+                        f"{_jax.process_count()}")
+                lo, hi = dist_mod.local_batch_slice(n)
+                return dist_mod.global_batch_from_local(
+                    self.mesh, x[lo:hi], y[lo:hi])
             from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
             return mesh_mod.shard_batch(self.mesh, x, y)
         return x, y
@@ -220,8 +231,10 @@ class Trainer:
                 self.logger.scalars(self.iteration,
                                     {"train_loss": float(loss),
                                      "lr": self.current_lr()})
-            if tc.image_every and self.iteration % tc.image_every == 0:
-                # pred|truth panels (reference cadence: MainNumpy.py:54-60)
+            if tc.image_every and self.iteration % tc.image_every == 0 \
+                    and getattr(probs, "is_fully_addressable", True):
+                # pred|truth panels (reference cadence: MainNumpy.py:54-60);
+                # skipped on multi-host where row 0 may be non-addressable.
                 import numpy as _np
                 from ultrasound_modeling_tpu.data import labels as _labels
                 self.logger.images(
@@ -250,8 +263,11 @@ class Trainer:
             x, y = self._place_batch(x, y)
             mstate, _, probs = self.eval_step(self.state, mstate, x, y)
             eval_iter += 1
-            if tc.image_every_eval and eval_iter % tc.image_every_eval == 0:
-                # test-set pred|truth panels (reference: MainNumpy.py:108-113)
+            if tc.image_every_eval and eval_iter % tc.image_every_eval == 0 \
+                    and getattr(probs, "is_fully_addressable", True):
+                # test-set pred|truth panels (reference: MainNumpy.py:108-113).
+                # Multi-host arrays span non-addressable devices — fetching
+                # row 0 would raise, so panels are host-local-only.
                 import numpy as _np
                 from ultrasound_modeling_tpu.data import labels as _labels
                 self.logger.images(
