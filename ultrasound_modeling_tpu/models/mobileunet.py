@@ -61,9 +61,13 @@ class InvertedResidual(nn.Module):
             x = relu6(x)
             expand_out = x
         # Depthwise conv = grouped conv with feature_group_count = channels.
+        # Stride 2 replicates the reference's ZeroPadding2D(1) + VALID
+        # (TBIPixelCNN.py:120-127): symmetric (1,1) padding, NOT 'SAME'
+        # (which pads (0,1) at even dims — a one-pixel alignment shift).
         ch = x.shape[-1]
+        pad = "SAME" if self.stride == 1 else ((1, 1), (1, 1))
         x = nn.Conv(ch, (3, 3), strides=(self.stride, self.stride), dtype=compute_dtype(),
-                    padding="SAME", feature_group_count=ch, use_bias=False,
+                    padding=pad, feature_group_count=ch, use_bias=False,
                     name="depthwise")(x)
         x = Norm("batch", name="depthwise_bn")(x, train)
         x = relu6(x)
@@ -82,8 +86,10 @@ class MobileNetV2Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         relu6 = activation("relu6")
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", dtype=compute_dtype(),
-                    name="conv1")(x)
+        # Reference stem: ZeroPadding2D(1) + 3x3 s2 VALID conv
+        # (TBIPixelCNN.py:45-52) — symmetric (1,1) padding, not 'SAME'.
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=compute_dtype(), name="conv1")(x)
         x = relu6(x)
         skips = []
         for i, (filters, stride) in enumerate(_BLOCK_TABLE):
