@@ -51,6 +51,7 @@ SLOW_MODULES = {
     "test_bf16",
     "test_infer_cli",       # full transunet restore + render
     "test_swin_convert",    # imports tensorflow
+    "test_crosschecks",     # TF reference builds (gated on RUN_CROSSCHECKS)
 }
 
 
