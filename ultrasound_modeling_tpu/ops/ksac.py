@@ -59,8 +59,18 @@ def ksac_shared_taps(x: jnp.ndarray, kernel: jnp.ndarray,
 
     For a SAME conv with dilation r, out = sum_{i,j} shift((i - kc)*r,
     (j - kc)*r)(x @ K[i, j]); the taps are shared across rates.
+
+    Odd kernel sizes only: XLA's SAME padding is asymmetric for even
+    kernels (lo = (k-1)*r//2), while the center-tap decomposition here is
+    symmetric — an even kernel would be silently shifted one pixel
+    relative to ``ksac_naive``.  The reference only uses 3x3 KSAC kernels
+    (Decoder.py:294-344).
     """
     kh, kw, cin, cout = kernel.shape
+    if kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(
+            f"ksac_shared_taps requires odd kernel sizes, got {(kh, kw)} "
+            "(even-kernel SAME padding is asymmetric; use impl='naive')")
     n, h, w, _ = x.shape
     # [N*H*W, Cin] @ [Cin, kh*kw*Cout] — one MXU-friendly matmul.
     xf = x.reshape(n * h * w, cin)

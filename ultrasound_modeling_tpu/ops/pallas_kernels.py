@@ -473,12 +473,27 @@ def fused_label2vec_smooth(label: jnp.ndarray, smoothing: float = 0.0,
                            interpret: Optional[bool] = None) -> jnp.ndarray:
     """label2vec (3-class) + optional label smoothing in one VPU pass.
     Equivalent to data.labels.label2vec followed by the smoothing in
-    train.losses.cce_smooth."""
+    train.losses.cce_smooth.
+
+    NOTE: the train step uses data.labels.label2vec directly (XLA fuses it
+    into the loss); this kernel is the standalone Pallas formulation, kept
+    equivalence-tested.  Batched inputs are gridded one image per program
+    so a full batch never has to fit VMEM at once."""
     interpret = (not _on_tpu()) if interpret is None else interpret
-    return pl.pallas_call(
+    label = label.astype(jnp.float32)
+    squeeze = label.ndim == 2
+    if squeeze:
+        label = label[None]
+    lead, hw = label.shape[0], label.shape[1:]
+    out = pl.pallas_call(
         functools.partial(_label_kernel, smoothing=float(smoothing)),
-        out_shape=jax.ShapeDtypeStruct(label.shape + (3,), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(lead,),
+        out_shape=jax.ShapeDtypeStruct((lead,) + hw + (3,), jnp.float32),
+        in_specs=[pl.BlockSpec((1,) + hw, lambda i: (i,) + (0,) * len(hw),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1,) + hw + (3,),
+                               lambda i: (i,) + (0,) * (len(hw) + 1),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(label.astype(jnp.float32))
+    )(label)
+    return out[0] if squeeze else out

@@ -23,13 +23,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Resize ``[..., H, W]`` or ``[H, W, C]`` images bilinearly."""
+def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int],
+                    channels_last: bool = True) -> jnp.ndarray:
+    """Resize images bilinearly.
+
+    Rank 2 is ``[H, W]``; rank 3 is ``[H, W, C]`` when ``channels_last``
+    (the default, matching cv2) and ``[B, H, W]`` otherwise; rank 4 is
+    ``[B, H, W, C]``.  The flag exists because the two rank-3 layouts are
+    indistinguishable from shape alone — resizing a batched-grayscale stack
+    under the channels-last assumption would silently interpolate ACROSS
+    the batch axis."""
     if img.ndim == 2:
         return jax.image.resize(img, out_hw, method="linear")
-    if img.ndim == 3:  # H, W, C
-        return jax.image.resize(img, out_hw + (img.shape[-1],),
-                                method="linear")
+    if img.ndim == 3:
+        if channels_last:  # [H, W, C]
+            return jax.image.resize(img, out_hw + (img.shape[-1],),
+                                    method="linear")
+        return jax.image.resize(img, (img.shape[0],) + out_hw,
+                                method="linear")  # [B, H, W]
     # batched [B, H, W, C]
     return jax.image.resize(
         img, (img.shape[0],) + out_hw + (img.shape[-1],), method="linear")
@@ -50,8 +61,10 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 9,
     """Separable Gaussian blur of a 2-D image, reflect-101 boundary
     (cv2.GaussianBlur equivalent)."""
     k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
-    pad = ksize // 2
-    x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+    # total padding must be ksize-1 so the 'valid' conv restores H x W
+    # (symmetric ksize//2 per side over-pads by one for even ksize).
+    pad_lo, pad_hi = (ksize - 1) // 2, ksize // 2
+    x = jnp.pad(img, ((pad_lo, pad_hi), (pad_lo, pad_hi)), mode="reflect")
     # Rows then cols via 1-D convs (VPU-friendly; XLA fuses).
     x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)
     x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),

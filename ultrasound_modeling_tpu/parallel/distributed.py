@@ -41,8 +41,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     try:
         from jax._src import distributed as _dist_state
         already = getattr(_dist_state.global_state, "client", None) is not None
-    except Exception:   # private API moved: fall back to the public call,
-        already = jax.process_count() > 1   # accepting its backend init
+    except Exception:
+        # Private API moved: assume NOT initialized (the normal startup
+        # state) and let jax.distributed.initialize itself report a double
+        # call below — calling jax.process_count() here would initialize
+        # the XLA backend and make initialize() fail unconditionally.
+        already = False
     if already:
         return jax.process_count() > 1  # already initialized
     env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -63,7 +67,11 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     elif "JAX_PROCESS_ID" in os.environ:
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:
+        if "already" not in str(exc):
+            raise  # real failure; double-init just means we're live
     return jax.process_count() > 1
 
 
@@ -71,7 +79,12 @@ def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     """(start, stop) rows of the global batch this process should load —
     the per-process analogue of MirroredStrategy's dataset sharding
     (reference: MainParallel.py:128,151-156)."""
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count "
+            f"{n} — tail rows would silently be fed by no host")
+    per = global_batch // n
     start = per * jax.process_index()
     return start, start + per
 

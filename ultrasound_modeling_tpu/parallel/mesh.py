@@ -41,6 +41,20 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     per_data = n_model * n_pipe
     if n_data is None:
         n_data = len(devices) // per_data
+    if n_data < 1:
+        raise ValueError(
+            f"mesh needs n_model*n_pipe = {per_data} devices per data "
+            f"group but only {len(devices)} are available")
+    if n_data * per_data > len(devices):
+        raise ValueError(
+            f"mesh wants {n_data}x{n_model}x{n_pipe} = "
+            f"{n_data * per_data} devices, have {len(devices)}")
+    if len(devices) % per_data and n_data == len(devices) // per_data:
+        import warnings
+        warnings.warn(
+            f"{len(devices) - n_data * per_data} of {len(devices)} devices "
+            f"unused (device count not divisible by n_model*n_pipe = "
+            f"{per_data})", stacklevel=2)
     use = devices[: n_data * per_data]
     if n_pipe > 1:
         arr = np.array(use).reshape(n_data, n_model, n_pipe)

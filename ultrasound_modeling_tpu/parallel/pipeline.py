@@ -150,9 +150,9 @@ def pp_param_specs(params, axis: str = MODEL_AXIS,
 def shard_params_pp(mesh: Mesh, tree, axis: str = MODEL_AXIS,
                     stack_key: str = "blocks"):
     """Place a param/opt-state pytree on the mesh per the PP specs."""
-    specs = pp_param_specs(tree, axis, stack_key)
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)
+    from ultrasound_modeling_tpu.parallel.mesh import shard_params
+    return shard_params(mesh, tree, specs=pp_param_specs(tree, axis,
+                                                         stack_key))
 
 
 def pp_tp_param_specs(params, pipe_axis: str = "pipe",
@@ -178,6 +178,6 @@ def shard_params_pp_tp(mesh: Mesh, tree, pipe_axis: str = "pipe",
                        stack_key: str = "blocks"):
     """Place a param/opt-state pytree on a (data, model, pipe) mesh with
     the combined TP + PP sharding."""
-    specs = pp_tp_param_specs(tree, pipe_axis, stack_key)
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs)
+    from ultrasound_modeling_tpu.parallel.mesh import shard_params
+    return shard_params(mesh, tree, specs=pp_tp_param_specs(tree, pipe_axis,
+                                                            stack_key))
