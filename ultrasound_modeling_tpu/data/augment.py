@@ -181,9 +181,16 @@ def augment_sample(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
         image = jnp.where(r % 2 == 1, flipped[0], image)
         label = jnp.where(r % 2 == 1, flipped[1], label)
 
-    # Erosion: if r % 3 != 0, with t % 7 + 2 iterations.
+    # Erosion: if r % 3 != 0, with t % 7 + 2 iterations.  The whole branch
+    # (including erode_brain's final outside-brain zeroing) only fires when
+    # r % 3 != 0 — the reference calls imageReduc conditionally
+    # (DataAugs.py:91-92), and objective-0 archives keep nonzero
+    # displacement outside the brain, so an unconditional zeroing would
+    # alter 1/3 of those samples relative to the reference.
     iters = jnp.where(r % 3 != 0, t % 7 + 2, 0)
-    image, label = erode_brain(image, label, iters)
+    er_im, er_lb = erode_brain(image, label, iters)
+    image = jnp.where(r % 3 != 0, er_im, image)
+    label = jnp.where(r % 3 != 0, er_lb, label)
 
     # r % 3 cutouts (0, 1 or 2).
     n_cuts = r % 3

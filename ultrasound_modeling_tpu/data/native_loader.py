@@ -88,12 +88,21 @@ class NpyShard:
                 self._handle = handle
                 self._libref = lib
                 ndim = lib.uml_ndim(handle)
-                self.shape = tuple(lib.uml_dim(handle, i) for i in range(ndim))
                 kind = lib.uml_kind(handle)
                 item = lib.uml_itemsize(handle)
-                self.dtype = np.dtype(_KIND_TO_DTYPE[(kind, item)])
-                self.native = True
-                return
+                dtype = _KIND_TO_DTYPE.get((kind, item))
+                if dtype is None:
+                    # dtype the gather path doesn't map (e.g. f2/c8): close
+                    # the native handle and take the mmap fallback below.
+                    lib.uml_close(handle)
+                else:
+                    self._handle = handle
+                    self._libref = lib
+                    self.shape = tuple(lib.uml_dim(handle, i)
+                                       for i in range(ndim))
+                    self.dtype = np.dtype(dtype)
+                    self.native = True
+                    return
         # NumPy fallback: memory-mapped load.
         self._mmap = np.load(path, mmap_mode="r")
         self.shape = self._mmap.shape

@@ -51,7 +51,11 @@ def make_sample(rng: np.random.Generator, height: int = 256, width: int = 80,
         # Re-stamp the bleed core after smoothing, like the real ETL
         # (reference: DataFilePlayGround.py:339-341).
         label = np.where(bleed, 2.0, label)
-    label = np.where(brain, np.maximum(label, 0.96), np.minimum(label, 0.94))
+    # Zero outside the brain exactly, like the real ETL (data/etl.py
+    # build_label: np.where(brain_resized == 0, 0.0, label)) — blurred
+    # values surviving outside would make augment.erode_brain (outside =
+    # label < 0.1) behave differently on synthetic vs real archives.
+    label = np.where(brain, np.maximum(label, 0.96), 0.0)
 
     # Smooth displacement fields, zero-mean / max-abs-1 per channel then
     # zeroed outside the brain (reference: DataFilePlayGround.py:368-388).

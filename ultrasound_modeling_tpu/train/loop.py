@@ -57,6 +57,15 @@ class Trainer:
 
         tc = cfg.train
         self.loss_fn = losses.get_loss(tc.loss)
+        if tc.label_smoothing != 0.1 and tc.loss in ("cce_smooth",
+                                                     "factor_scaled"):
+            # thread the configured smoothing (default 0.1 is baked into the
+            # loss signatures as the reference constant)
+            import functools
+            kw = ("label_smoothing" if tc.loss == "cce_smooth"
+                  else "smoothing")
+            self.loss_fn = functools.partial(
+                self.loss_fn, **{kw: tc.label_smoothing})
         if tc.class_factor is not None and tc.loss in (
                 "factor_scaled", "pixelcnn", "evaluator"):
             # override the constant per-class scale of the factor-family
@@ -93,6 +102,7 @@ class Trainer:
                 l2_scale=tc.l2_regularization, donate=False)
         self.eval_step = step_mod.make_eval_step(
             self.model, self.loss_fn, num_classes=cfg.model.num_classes)
+        self._panel_fwd = None  # lazy un-augmented forward for train panels
 
         rng = jax.random.PRNGKey(tc.seed)
         sample = jnp.zeros(
@@ -136,8 +146,7 @@ class Trainer:
 
     def _place_batch(self, x, y):
         if self.mesh is not None:
-            import jax as _jax
-            if _jax.process_count() > 1:
+            if jax.process_count() > 1:
                 # multi-host: every process loads the same archive and draws
                 # the same global batch (same cursor order), so carve out THIS
                 # process's rows and contribute only those — otherwise the
@@ -148,10 +157,10 @@ class Trainer:
                 from ultrasound_modeling_tpu.parallel import (
                     distributed as dist_mod)
                 n = x.shape[0]
-                if n % _jax.process_count():
+                if n % jax.process_count():
                     raise ValueError(
                         f"global batch {n} not divisible by process count "
-                        f"{_jax.process_count()}")
+                        f"{jax.process_count()}")
                 lo, hi = dist_mod.local_batch_slice(n)
                 return dist_mod.global_batch_from_local(
                     self.mesh, x[lo:hi], y[lo:hi])
@@ -169,10 +178,9 @@ class Trainer:
         ys = ds.y_tr[: n_full * batch_size].reshape(
             (n_full, batch_size) + ds.y_tr.shape[1:])
         if ds.num_tr % batch_size and ds.num_tr > batch_size:
-            import jax.numpy as _jnp
-            xs = _jnp.concatenate(
+            xs = jnp.concatenate(
                 [xs, ds.x_tr[-1 - batch_size:-1][None]], axis=0)
-            ys = _jnp.concatenate(
+            ys = jnp.concatenate(
                 [ys, ds.y_tr[-1 - batch_size:-1][None]], axis=0)
         return xs, ys
 
@@ -203,7 +211,19 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         if self.epoch_step is not None:
+            if not getattr(self.dataset, "device_resident", True):
+                raise ValueError(
+                    "scan_epochs=True requires a device-resident dataset: "
+                    "stacking an out-of-core shard would gather the whole "
+                    "archive into host memory, defeating out_of_core")
+            if self.dataset.num_tr < self.cfg.train.batch_size:
+                # zero full batches to scan over; the cursor path handles
+                # short datasets via the tail-window substitute
+                return self._train_epoch_cursor(epoch)
             return self.train_epoch_scanned(epoch)
+        return self._train_epoch_cursor(epoch)
+
+    def _train_epoch_cursor(self, epoch: int) -> Dict[str, float]:
         tc = self.cfg.train
         t0 = time.time()
         last_loss = None
@@ -235,11 +255,19 @@ class Trainer:
                     and getattr(probs, "is_fully_addressable", True):
                 # pred|truth panels (reference cadence: MainNumpy.py:54-60);
                 # skipped on multi-host where row 0 may be non-addressable.
-                import numpy as _np
                 from ultrasound_modeling_tpu.data import labels as _labels
+                if self.cfg.data.augment:
+                    # probs reflect the AUGMENTED sample (aug runs inside
+                    # the step) — a matched pred|truth pair needs a fresh
+                    # un-augmented forward (cheap at this cadence).
+                    if self._panel_fwd is None:
+                        self._panel_fwd = step_mod.make_forward(self.model)
+                    p0 = np.asarray(self._panel_fwd(self.state, x[0:1])[0])
+                else:
+                    p0 = np.asarray(probs[0])
                 self.logger.images(
-                    self.iteration, "train", _np.asarray(probs[0]),
-                    _np.asarray(_labels.label2vec(
+                    self.iteration, "train", p0,
+                    np.asarray(_labels.label2vec(
                         y[0], self.cfg.model.num_classes)))
             if terminator:
                 break
@@ -255,6 +283,11 @@ class Trainer:
     def evaluate(self, epoch: int, batch_size: Optional[int] = None
                  ) -> Dict[str, float]:
         bs = batch_size or min(16, self.dataset.num_te)
+        if batch_size is None and jax.process_count() > 1:
+            # auto-picked batch must satisfy _place_batch's per-process
+            # divisibility on multi-host runs
+            n = jax.process_count()
+            bs = max(n, bs // n * n)
         tc = self.cfg.train
         mstate = metrics.zeros(self.cfg.model.num_classes)
         eval_iter = 0
@@ -268,11 +301,10 @@ class Trainer:
                 # test-set pred|truth panels (reference: MainNumpy.py:108-113).
                 # Multi-host arrays span non-addressable devices — fetching
                 # row 0 would raise, so panels are host-local-only.
-                import numpy as _np
                 from ultrasound_modeling_tpu.data import labels as _labels
                 self.logger.images(
-                    self.iteration + eval_iter, "val", _np.asarray(probs[0]),
-                    _np.asarray(_labels.label2vec(
+                    self.iteration + eval_iter, "val", np.asarray(probs[0]),
+                    np.asarray(_labels.label2vec(
                         y[0], self.cfg.model.num_classes)))
             if terminator:
                 break

@@ -138,8 +138,13 @@ def summarize(state: MetricState) -> Dict[str, jnp.ndarray]:
     union = support_true + support_pred - tp
     iou = tp / jnp.maximum(union, 1.0)
     dice = 2 * tp / jnp.maximum(support_true + support_pred, 1.0)
-    out["mean_iou"] = jnp.mean(iou)
-    out["mean_dice"] = jnp.mean(dice)
+    # Keras MeanIoU averages only over classes that appear (nonzero union)
+    # — a bleed-free eval fold must not deflate the mean by an absent
+    # class's 0/0.
+    present = (union > 0).astype(iou.dtype)
+    n_present = jnp.maximum(present.sum(), 1.0)
+    out["mean_iou"] = (iou * present).sum() / n_present
+    out["mean_dice"] = (dice * present).sum() / n_present
     for c in range(cm.shape[0]):
         out[f"dice_c{c}"] = dice[c]
         out[f"iou_c{c}"] = iou[c]
