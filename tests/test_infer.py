@@ -103,3 +103,19 @@ def test_cardiac_inference_groups(rng):
 def test_default_axes_shapes():
     xa, ya = render.default_axes(32, 16)
     assert xa.shape == (33, 17) and ya.shape == (33, 17)
+
+
+def test_render_panels_image_shaped_axes(tmp_path, rng):
+    """The reference stores (256, 80) axes — SAME shape as the image
+    (TBIEvaluator.py:19-24 + DataFilePlayGround.py:92-93) — which
+    matplotlib >= 3.5 rejects under shading='flat'; shading='auto' must
+    keep that geometry rendering."""
+    from ultrasound_modeling_tpu.infer import render
+    h, w = 64, 40
+    xa = np.tile(np.arange(float(w)), (h, 1)).astype(int)
+    ya = np.tile(np.arange(float(h))[:, None], (1, w)).astype(int)
+    p = render.render_panels(
+        str(tmp_path / "img_axes.png"),
+        rng.uniform(0, 2, (h, w)), rng.uniform(0, 2, (h, w)),
+        diff=True, axes=(xa, ya))
+    assert os.path.getsize(p) > 0

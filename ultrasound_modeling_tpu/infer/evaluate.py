@@ -155,7 +155,12 @@ def class_counts(probs: np.ndarray, truth: np.ndarray, num_classes: int = 3):
         # confusion totals.
         true = np.where(truth > 0.5, 1, 0)
     else:
-        true = np.where(truth >= 1.05, 2, np.where(truth > 0.95, 1, 0))
+        # argmax-consistent class: label2vec gives class_2 = label - 1
+        # (for label >= 1.05), so the bleed channel only DOMINATES the
+        # brain channel for label > 1.5 — counting >= 1.05 as "true
+        # bleed" would log a model that matches its own training target
+        # as missing bleed on every blur-softened boundary pixel.
+        true = np.where(truth > 1.5, 2, np.where(truth > 0.95, 1, 0))
         true = np.minimum(true, num_classes - 1)
     conf = np.zeros((num_classes, num_classes), np.int64)
     for t in range(num_classes):

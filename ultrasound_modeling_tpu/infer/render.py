@@ -29,6 +29,7 @@ def default_axes(height: int = 256, width: int = 80):
 
 
 def load_axes(axis_dir: str):
+    # astype(int) preserved from the reference (TBIEvaluator.py:23-24).
     x = np.load(os.path.join(axis_dir, "xAxis.npy")).astype(int)
     y = np.load(os.path.join(axis_dir, "yAxis.npy")).astype(int)
     return x, y
@@ -73,10 +74,16 @@ def render_panels(out_path: str, prob_composite: np.ndarray,
     if mask is not None:
         panels.append(("Brain_Mask", mask, dict(cmap=cmap)))
     if diff:
-        # difference map (reference: TBIEvaluator.py:309-317): 1 where pred
-        # and truth disagree, (C-1) where a true bleed was missed.
-        pr = np.round(prob_composite)
-        tr = np.round(truth)
+        # Difference map — intent of reference TBIEvaluator.py:309-317: 1
+        # where predicted CLASS and true CLASS disagree, 2 where a true
+        # bleed was missed.  (The reference compares the raw float
+        # composite to the raw soft label with `!=`, which flags nearly
+        # every pixel — a latent quirk, not the intent.)  Classes are
+        # recovered from the composite's {0, 0.5, 2} class levels and the
+        # scalar label's argmax-consistent thresholds (data/labels.py).
+        pr = np.where(prob_composite > 1.25, 2.0,
+                      np.where(prob_composite > 0.25, 1.0, 0.0))
+        tr = np.where(truth > 1.5, 2.0, np.where(truth > 0.95, 1.0, 0.0))
         d = np.where(pr != tr, 1.0, 0.0)
         d = np.where((tr == 2.0) & (pr != 2.0), 2.0, d)
         panels.append(("Difference", d, dict(vmin=0, vmax=2, cmap=cmap)))
@@ -90,7 +97,13 @@ def render_panels(out_path: str, prob_composite: np.ndarray,
     for i, (name, img, kw) in enumerate(panels):
         a = ax[i // 2, i % 2]
         a.grid(False)
-        a.pcolormesh(xa, ya, img, shading="flat", **kw)
+        # The reference passes image-shaped (256, 80) axes with
+        # shading='flat' (TBIEvaluator.py:287), which old matplotlib
+        # accepted by dropping the last row/col and matplotlib >= 3.5
+        # rejects.  'auto' keeps both geometries working: 'nearest' for
+        # image-shaped axes (every pixel drawn), 'flat' for (H+1, W+1)
+        # corner grids (default_axes).
+        a.pcolormesh(xa, ya, img, shading="auto", **kw)
         a.invert_yaxis()
         a.title.set_text(name)
     i = len(panels)

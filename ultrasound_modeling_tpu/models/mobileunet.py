@@ -23,12 +23,10 @@ implemented).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ultrasound_modeling_tpu.models.common import Norm, activation, compute_dtype, conv_transpose
+from ultrasound_modeling_tpu.models.common import Norm, activation, compute_dtype
 
 # (filters, stride) per inverted-residual block (reference: TBIPixelCNN.py:53-84).
 _BLOCK_TABLE = (

@@ -52,6 +52,7 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             num_classes=cfg.num_classes, hidden_size=cfg.vit_hidden,
             num_heads=cfg.vit_heads, num_layers=cfg.vit_layers,
             grid=tuple(cfg.vit_grid), img_size=tuple(cfg.img_size),
+            mlp_dim=cfg.mlp_dim, dropout_rate=cfg.dropout_rate,
             learned_pos=cfg.vit_learned_pos,
             conv_stem=getattr(cfg, "vit_conv_stem", False),
             attn_impl=_resolve_impl(cfg.attn_impl))

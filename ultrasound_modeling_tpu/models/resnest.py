@@ -29,8 +29,6 @@ convs XLA can tile as grouped matmuls (runtime).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -297,11 +295,19 @@ class ResidualS(nn.Module):
         cin = x.shape[-1]
         kr = k_ * r_
         dt = compute_dtype() or x.dtype
+        # He-normal with the PER-BRANCH fan: the stacked [K, R, ...] param
+        # shapes would otherwise inflate fan_in by K*R and shrink the init
+        # std ~3x vs the per-branch vmap/reference init (batch_axis tells
+        # variance_scaling the leading axes are independent branches).
+        he_b = nn.initializers.variance_scaling(
+            2.0, "fan_in", "truncated_normal", batch_axis=(0, 1))
+        he_b1 = nn.initializers.variance_scaling(
+            2.0, "fan_in", "truncated_normal", batch_axis=(0,))
 
-        w1 = self.param("branch1_kernel", he_normal,
+        w1 = self.param("branch1_kernel", he_b,
                         (k_, r_, 1, 1, cin, c11))
         b1 = self.param("branch1_bias", nn.initializers.zeros, (k_, r_, c11))
-        w2 = self.param("branch2_kernel", he_normal,
+        w2 = self.param("branch2_kernel", he_b,
                         (k_, r_, self.ksize, self.ksize, c11, ckk))
         b2 = self.param("branch2_bias", nn.initializers.zeros, (k_, r_, ckk))
 
@@ -329,11 +335,11 @@ class ResidualS(nn.Module):
         # Split attention (reference: TBI_ResNest.py:175-207), all K paths at
         # once: sum radix -> GAP -> per-path dense1 -> per-(path,radix)
         # dense2 -> channel softmax -> weighted radix sum.
-        wd1 = self.param("attn_dense1_kernel", he_normal,
+        wd1 = self.param("attn_dense1_kernel", he_b1,
                          (k_, ckk, ckk // 2))
         bd1 = self.param("attn_dense1_bias", nn.initializers.zeros,
                          (k_, ckk // 2))
-        wd2 = self.param("attn_dense2_kernel", he_normal,
+        wd2 = self.param("attn_dense2_kernel", he_b,
                          (k_, r_, ckk // 2, ckk))
         bd2 = self.param("attn_dense2_bias", nn.initializers.zeros,
                          (k_, r_, ckk))

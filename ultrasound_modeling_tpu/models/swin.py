@@ -36,6 +36,10 @@ SWIN_LN_EPS = 1e-5  # reference: SwinTransformer.py:179
 
 # reference: SwinTransformer.py:8-21
 CFGS = {
+    # Verbatim from the reference (SwinTransformer.py:8-21) — note its
+    # window sizes 4/8 DIFFER from the officially released pretrained
+    # checkpoints (7/12); utils/swin_convert.PRETRAINED_CFGS carries the
+    # released-checkpoint values for weight conversion.
     "swin_tiny_224": dict(input_size=(224, 224), window_size=4, embed_dim=96,
                           depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
     "swin_small_224": dict(input_size=(224, 224), window_size=4, embed_dim=96,

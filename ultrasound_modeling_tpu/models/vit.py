@@ -16,7 +16,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ultrasound_modeling_tpu.models.common import compute_dtype, conv, dense
+from ultrasound_modeling_tpu.models.common import compute_dtype
 from ultrasound_modeling_tpu.models.transunet import Block, TRANSFORMER_LN_EPS
 
 

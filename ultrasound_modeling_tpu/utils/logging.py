@@ -39,7 +39,10 @@ class MetricLogger:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
         if self._tb:
-            self._tb.scalars(int(step), rec)
+            # metric values only — rec's step/time bookkeeping keys would
+            # become junk TensorBoard series
+            self._tb.scalars(int(step),
+                             {k: float(v) for k, v in values.items()})
         if self.echo:
             body = ", ".join(f"{k}={v:.5g}" for k, v in values.items())
             print(f"[step {step}] {body}")
