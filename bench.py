@@ -3,12 +3,14 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Headline metric: TransUNet (flagship) batched inference frames/sec/chip on the
-local accelerator, with p50 ms/frame and a CPU-path estimate for the
-``vs_baseline`` ratio.  The reference's inference runs single-image,
-model-reloaded-per-process, on CPU (reference: TBIEvaluator.py:28,198,235) —
-BASELINE.md sets the >10x frames/sec/chip target against that path.
+local accelerator, with p50 ms/frame and the MEASURED reference-CPU
+denominator for the ``vs_baseline`` ratio.  The reference's inference runs
+single-image, model-reloaded-per-process, on CPU (reference:
+TBIEvaluator.py:28,198,235) — BASELINE.md sets the >10x frames/sec/chip
+target against that path.  The model is built through the production
+registry (same resolved attention kernel as ``cli infer``).
 
-Extra detail (stderr): per-model-family throughput table.
+Per-model-family tables live in benchmarks/bench_all.py.
 """
 
 import json
@@ -89,7 +91,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ultrasound_modeling_tpu.models.transunet import TransUNet
+    from ultrasound_modeling_tpu.config import default_config
+    from ultrasound_modeling_tpu.models.registry import build_model
 
     # Throughput saturates around batch 256-512 on a v5e chip (latency-bound
     # below that: the per-call host roundtrip dominates small batches).
@@ -101,7 +104,10 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 256, 80, 10)), jnp.float32)
 
-    model = TransUNet(num_classes=3)
+    # Build through the registry: resolves attn_impl='auto' to the fused
+    # Pallas kernel on TPU — the SAME kernel `cli infer` serves with, so
+    # the headline measures the production path.
+    model = build_model(default_config("transunet").model)
     stats = _bench_forward(model, x)
 
     # Reference CPU baseline: the evaluator path runs batch-1 CPU inference

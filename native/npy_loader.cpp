@@ -122,8 +122,12 @@ void* uml_open(const char* path) {
     delete f;
     return nullptr;
   }
-  // Fault pages in sequentially in the background on first touch.
-  madvise(const_cast<uint8_t*>(f->map), f->map_len, MADV_WILLNEED);
+  // Row gathers touch scattered pages: tell the kernel NOT to run
+  // file-wide readahead.  (MADV_WILLNEED over the whole mapping would
+  // prefetch the entire archive — self-defeating for the out-of-core
+  // larger-than-RAM datasets this loader exists for; per-gather WILLNEED
+  // on the touched rows happens in uml_gather.)
+  madvise(const_cast<uint8_t*>(f->map), f->map_len, MADV_RANDOM);
   return f;
 }
 
@@ -146,6 +150,17 @@ int uml_gather(void* h, const int64_t* idx, int64_t n, void* out,
   const int64_t rows = f->shape[0];
   for (int64_t i = 0; i < n; ++i)
     if (idx[i] < 0 || idx[i] >= rows) return -1;
+
+  // Async readahead for exactly the requested rows (page-aligned) — the
+  // cold-cache out-of-core path overlaps disk I/O with the copies below;
+  // a no-op when pages are already resident.
+  const long pg = sysconf(_SC_PAGESIZE);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = f->data + idx[i] * f->row_bytes;
+    auto a = reinterpret_cast<uintptr_t>(p) & ~uintptr_t(pg - 1);
+    size_t len = size_t(reinterpret_cast<uintptr_t>(p) + f->row_bytes - a);
+    madvise(reinterpret_cast<void*>(a), len, MADV_WILLNEED);
+  }
 
   auto copy_range = [&](int64_t lo, int64_t hi) {
     uint8_t* dst = static_cast<uint8_t*>(out) + lo * f->row_bytes;

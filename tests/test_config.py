@@ -49,3 +49,19 @@ def test_bad_patient_lists_present():
     d = cfg_mod.DataConfig()
     assert 928 in d.bad_patients  # reference: DataFilePlayGround.py:278-279
     assert 8 in d.iph_patients
+
+
+def test_from_toml_seeds_family_defaults(tmp_path):
+    """A TOML naming a model family must start from that family's defaults
+    (geometry/loss/optimizer), not the bare dataclass defaults — otherwise
+    `--config` checkpoints mismatch `--model` ones."""
+    p = tmp_path / "fam.toml"
+    p.write_text("[model]\nname = 'mobileunet'\n")
+    cfg = cfg_mod.from_toml(str(p))
+    assert cfg.model.in_channels == 15
+    assert cfg.model.img_size == (256, 64)
+    assert cfg.train.loss == "pixelcnn"
+    # explicit TOML keys still override the family defaults
+    p2 = tmp_path / "fam2.toml"
+    p2.write_text("[model]\nname = 'mobileunet'\nin_channels = 10\n")
+    assert cfg_mod.from_toml(str(p2)).model.in_channels == 10

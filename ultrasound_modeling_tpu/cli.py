@@ -26,9 +26,11 @@ def _add_common(p):
     p.add_argument("--model", default="transunet",
                    choices=["transunet", "resnest_unet", "vit", "swin",
                             "mobileunet"])
-    p.add_argument("--num-classes", type=int, default=3)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="defaults to the config/family value (3)")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="defaults to the config/family value (0)")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--ckpt", default=None, help="checkpoint directory")
     p.add_argument("--synthetic", action="store_true",
@@ -90,7 +92,9 @@ def build_config(args):
         cfg = from_toml(args.config)
     else:
         cfg = default_config(args.model)
-    model = dc.replace(cfg.model, num_classes=args.num_classes)
+    model = cfg.model
+    if args.num_classes is not None:
+        model = dc.replace(model, num_classes=args.num_classes)
     if getattr(args, "bf16", False):
         model = dc.replace(model, compute_dtype="bfloat16")
     if getattr(args, "remat_conv", False):
@@ -98,7 +102,8 @@ def build_config(args):
     train = cfg.train
     if args.batch_size:
         train = dc.replace(train, batch_size=args.batch_size)
-    train = dc.replace(train, seed=args.seed)
+    if args.seed is not None:
+        train = dc.replace(train, seed=args.seed)
     return cfg.replace(model=model, train=train)
 
 
@@ -196,6 +201,11 @@ def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir):
     from ultrasound_modeling_tpu.train import optim, step as step_mod
     from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
 
+    if mcfg.compute_dtype != "float32":
+        # the Trainer sets this global for train/eval; set it here too so
+        # `infer --bf16` actually runs bfloat16
+        from ultrasound_modeling_tpu.models import common as model_common
+        model_common.set_compute_dtype(mcfg.compute_dtype)
     model = build_model(mcfg)
     clip = tcfg.clip_global_norm if tcfg.loss != "class_balanced" else None
     if mcfg.name == "mobileunet":
@@ -274,11 +284,18 @@ def cmd_infer(args):
     if args.axis_dir and os.path.isdir(args.axis_dir):
         axes = render.load_axes(args.axis_dir)
 
+    if x.shape[0] == 0:
+        print("no test frames in the input (empty archive/test split)")
+        return
     bs = min(16, x.shape[0])
     nc = cfg.model.num_classes
 
     def render_frame(i, probs_i, name, mask_i=None):
-        comp = np.asarray(ev.composite_probability(jnp.asarray(probs_i)))
+        # composite (reference: TBIEvaluator.py:249-252) directly in numpy —
+        # probs are already on host; a per-frame device round-trip costs
+        # multi-ms dispatch on a remote link for microseconds of arithmetic
+        p = np.asarray(probs_i)
+        comp = 1.0 - p[..., 0] - 0.5 * p[..., 1] + p[..., 2]
         counts = ev.class_counts(np.asarray(probs_i), y[i], nc)
         render.render_panels(
             os.path.join(out_dir, f"{name}.png"), comp, y[i],
@@ -371,7 +388,13 @@ def cmd_etl(args):
 
 
 def cmd_bench(args):
-    os.environ.setdefault("BENCH_BATCH", str(args.batch_size or 32))
+    # Explicit flags WIN over the environment; with no flag, bench.py's own
+    # defaults apply (batch 256 — the measured saturation point — so this
+    # entry point reports the same headline as `python bench.py`).
+    if args.batch_size:
+        os.environ["BENCH_BATCH"] = str(args.batch_size)
+    if getattr(args, "bf16", False):
+        os.environ["BENCH_BF16"] = "1"
     import runpy
     sys.argv = ["bench.py"]
     runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(

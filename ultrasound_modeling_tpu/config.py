@@ -187,11 +187,16 @@ def from_toml(path: str) -> Config:
     import tomllib
     with open(path, "rb") as fh:
         raw = tomllib.load(fh)
+    # Seed the base from the named family's defaults so a TOML that only
+    # says `[model] name="mobileunet"` still gets that family's geometry /
+    # loss / optimizer (in_channels 15, 256x64, pixelcnn loss, ...); the
+    # TOML keys then override on top.
+    family = raw.get("model", {}).get("name", "transunet")
+    defaults = default_config(family)
     sections = {}
-    for name, cls in (("paths", Paths), ("data", DataConfig),
-                      ("model", ModelConfig), ("train", TrainConfig),
-                      ("mesh", MeshConfig)):
-        base = cls()
+    for name, base in (("paths", defaults.paths), ("data", defaults.data),
+                       ("model", defaults.model), ("train", defaults.train),
+                       ("mesh", defaults.mesh)):
         if name in raw:
             clean = {k: tuple(v) if isinstance(v, list) else v
                      for k, v in raw[name].items()}

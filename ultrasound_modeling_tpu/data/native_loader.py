@@ -85,8 +85,6 @@ class NpyShard:
         if lib is not None:
             handle = lib.uml_open(path.encode())
             if handle:
-                self._handle = handle
-                self._libref = lib
                 ndim = lib.uml_ndim(handle)
                 kind = lib.uml_kind(handle)
                 item = lib.uml_itemsize(handle)
@@ -94,6 +92,8 @@ class NpyShard:
                 if dtype is None:
                     # dtype the gather path doesn't map (e.g. f2/c8): close
                     # the native handle and take the mmap fallback below.
+                    # (_handle stays None — setting it before this check
+                    # would leave a dangling pointer for gather()/close().)
                     lib.uml_close(handle)
                 else:
                     self._handle = handle
