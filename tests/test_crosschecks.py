@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 HARNESSES = [
     ("transunet_reference_crosscheck.py", "tf_diff_within_3x_f32_conditioning"),
+    ("transunet_grad_crosscheck.py", "no_structural_divergence"),
     ("vit_reference_crosscheck.py", "tf_diff_within_3x_f32_conditioning"),
     ("swin_reference_crosscheck.py", "pooled_within_3x_f32_conditioning"),
     ("mobileunet_reference_crosscheck.py", "within_3x_f32_conditioning"),
