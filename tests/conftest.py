@@ -52,6 +52,7 @@ SLOW_MODULES = {
     "test_infer_cli",       # full transunet restore + render
     "test_swin_convert",    # imports tensorflow
     "test_crosschecks",     # TF reference builds (gated on RUN_CROSSCHECKS)
+    "test_journey",         # full .mat -> etl -> train -> infer chain
 }
 
 

@@ -1,0 +1,103 @@
+"""Full user-journey integration test through the real CLI:
+
+synthetic .mat archive -> `cli etl` -> `cli train` (checkpointed) ->
+`cli infer --archive --cascade --cardiac` over the ETL output with the
+trained checkpoint -> panels + count summary.
+
+This is the complete reference workflow (DataFilePlayGround -> MainNumpy ->
+TBIEvaluator) as ONE chained run — the journey a reference user follows
+after switching to this framework.  Tiny model config keeps it CPU-sized.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ultrasound_modeling_tpu import cli
+
+H_RAW, W_RAW = 60, 40
+
+TOML = """
+[model]
+name = 'transunet'
+hidden_size = 64
+num_layers = 1
+num_heads = 2
+mlp_dim = 64
+grid = [16, 5]
+img_size = [256, 80]
+
+[train]
+batch_size = 2
+epochs = 1
+eval_every_epochs = 5
+"""
+
+
+def _fake_mat(path, n_cycles=2):
+    from scipy.io import savemat
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:H_RAW, 0:W_RAW]
+    brain = (((yy - 30) / 20) ** 2 + ((xx - 20) / 14) ** 2) < 1.0
+    blood = brain & (((yy - 30) ** 2 + (xx - 24) ** 2) < 16)
+    n_frames = 30 * (n_cycles + 1)
+    savemat(path, {
+        "normalMask": (brain & ~blood).astype(float),
+        "bloodMask": blood.astype(float),
+        "bloodMaskThick": blood.astype(float),
+        "brainMask": brain.astype(float),
+        "bModeNorm": rng.uniform(0.5, 2.0, size=(H_RAW, W_RAW, n_cycles)),
+        "displacement": rng.normal(size=(H_RAW, W_RAW, n_frames)),
+        "hrTimes": np.arange(n_cycles + 1, dtype=float).reshape(1, -1) * 0.4,
+        "harmonics": (rng.normal(size=(H_RAW, W_RAW, 8))
+                      + 1j * rng.normal(size=(H_RAW, W_RAW, 8))),
+        "xAxis": np.linspace(-40, 40, H_RAW * W_RAW).reshape(H_RAW, W_RAW),
+        "zAxis": np.linspace(20, 140, H_RAW * W_RAW).reshape(H_RAW, W_RAW),
+    })
+
+
+@pytest.mark.slow
+def test_full_journey_mat_to_panels(tmp_path):
+    raw = tmp_path / "raw"
+    # several patients so both train and test folds are non-empty
+    # (iteration=1: file counts where count % 10 == 1 land in the test fold)
+    for patient in range(4):
+        # dir names end in a 3-digit patient number (the ETL parses
+        # int(name[-3:]) — reference: DataFilePlayGround.py:276-279)
+        pdir = raw / f"patient{patient + 1:03d}"
+        pdir.mkdir(parents=True)
+        for k in range(3):
+            _fake_mat(str(pdir / f"scan_{k}.mat"), n_cycles=2)
+
+    processed = tmp_path / "processed"
+    cli.main(["etl", "--raw", str(raw), "--out", str(processed),
+              "--objective", "1", "--workers", "1"])
+    bleed = processed / "bleed"
+    assert (bleed / "TrainingData.npy").exists()
+    assert (bleed / "TestingData.npy").exists()
+    te = np.load(bleed / "TestingData.npy")
+    assert te.ndim == 5 and te.shape[2:] == (256, 80, 12)
+    assert te.shape[0] >= 1
+
+    cfg = tmp_path / "tiny.toml"
+    cfg.write_text(TOML)
+    ckpt = tmp_path / "ckpt"
+    cli.main(["train", "--model", "transunet", "--config", str(cfg),
+              "--train-data", str(bleed / "TrainingData.npy"),
+              "--val-data", str(bleed / "TestingData.npy"),
+              "--ckpt", str(ckpt), "--log-dir", str(tmp_path / "logs")])
+    assert any(os.scandir(ckpt)), "checkpoint not written"
+
+    out = tmp_path / "panels"
+    cli.main(["infer", "--model", "transunet", "--config", str(cfg),
+              "--archive", str(bleed), "--ckpt", str(ckpt),
+              "--cardiac", "--max-frames", "2", "--out", str(out)])
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) == 2
+    with open(out / "summary.json") as fh:
+        summary = json.load(fh)
+    assert len(summary["frames"]) == 2
+    conf = np.asarray(summary["totals"]["confusion"])
+    assert conf.sum() == 2 * 256 * 80
