@@ -27,6 +27,7 @@ HARNESSES = [
     ("transunet_reference_crosscheck.py", "tf_diff_within_3x_f32_conditioning"),
     ("transunet_grad_crosscheck.py", "no_structural_divergence"),
     ("vit_reference_crosscheck.py", "tf_diff_within_3x_f32_conditioning"),
+    ("vit_grad_crosscheck.py", "no_structural_divergence"),
     ("swin_reference_crosscheck.py", "pooled_within_3x_f32_conditioning"),
     ("mobileunet_reference_crosscheck.py", "within_3x_f32_conditioning"),
     ("resnest_unet_reference_crosscheck.py", "within_3x_f32_conditioning"),
