@@ -40,7 +40,12 @@ STAGES = ((64, 32), (128, 64), (256, 128), (512, 256), (512, 512))
 # (outchannel, input channels); shortcut conv exists iff in != out.
 
 
-def build_reference(x):
+def build_reference(x, grad_vector=None):
+    """Build + run the reference eagerly (module docstring).  With
+    ``grad_vector`` [num_classes], the whole eager build runs inside a
+    GradientTape and the return gains (loss, variables, grads) for the
+    smooth surrogate ``sum(probs * grad_vector)`` — the only way to tape
+    this model, since its forward executes during construction."""
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
     sys.path.insert(0, "/root/reference")
     import tensorflow as tf
@@ -72,10 +77,22 @@ def build_reference(x):
     if hasattr(ref.ResNest.upsample, "python_function"):
         ref.ResNest.upsample = ref.ResNest.upsample.python_function
 
-    with contextlib.redirect_stdout(io.StringIO()):
-        net = ref.ResNest(H, W, IN_CH, 3, ksize=3, radix=RADIX, kpaths=KPATHS)
-    probs = np.asarray(net.resModel)  # Model patched -> the eager output
-    return recorded, tf, probs
+    if grad_vector is None:
+        with contextlib.redirect_stdout(io.StringIO()):
+            net = ref.ResNest(H, W, IN_CH, 3, ksize=3, radix=RADIX,
+                              kpaths=KPATHS)
+        probs = np.asarray(net.resModel)  # Model patched -> eager output
+        return recorded, tf, probs
+    with tf.GradientTape() as tape:
+        with contextlib.redirect_stdout(io.StringIO()):
+            net = ref.ResNest(H, W, IN_CH, 3, ksize=3, radix=RADIX,
+                              kpaths=KPATHS)
+        probs_t = net.resModel
+        loss_t = tf.reduce_sum(probs_t * tf.constant(grad_vector))
+    variables = tape.watched_variables()
+    grads = tape.gradient(loss_t, variables)
+    return (recorded, tf, np.asarray(probs_t), float(loss_t), variables,
+            grads)
 
 
 def solve_tconv_mapping(tf, kernel=4):

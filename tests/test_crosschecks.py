@@ -29,8 +29,11 @@ HARNESSES = [
     ("vit_reference_crosscheck.py", "tf_diff_within_3x_f32_conditioning"),
     ("vit_grad_crosscheck.py", "no_structural_divergence"),
     ("swin_reference_crosscheck.py", "pooled_within_3x_f32_conditioning"),
+    ("swin_grad_crosscheck.py", "no_structural_divergence"),
     ("mobileunet_reference_crosscheck.py", "within_3x_f32_conditioning"),
+    ("mobileunet_grad_crosscheck.py", "no_structural_divergence"),
     ("resnest_unet_reference_crosscheck.py", "within_3x_f32_conditioning"),
+    ("resnest_unet_grad_crosscheck.py", "no_structural_divergence"),
 ]
 
 
