@@ -83,6 +83,9 @@ def main():
     final = trainer.evaluate(epoch=args.epochs)
     out = {
         "model": args.model, "epochs": args.epochs,
+        "loss": cfg.train.loss,
+        **({"class_factor": list(cfg.train.class_factor)}
+           if args.class_factor else {}),
         "train_minutes": round((time.time() - t0) / 60, 2),
         "dice_c0": round(final["dice_c0"], 4),
         "dice_c1": round(final["dice_c1"], 4),
