@@ -253,7 +253,16 @@ def cmd_infer(args):
 
     import dataclasses as dc
     sample_shape = x.shape[1:]
-    bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape, args.ckpt)
+    if getattr(args, "exported", None):
+        # serve a jax.export artifact: weights + program embedded, no
+        # checkpoint or model rebuild (infer/export.py).  Requires a
+        # symbolic-batch export (the default of `cli export`) since the
+        # batch loop below pads to a fixed chunk size.
+        from ultrasound_modeling_tpu.infer.export import load_exported
+        bleed_fwd = load_exported(args.exported)
+    else:
+        bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape,
+                                  args.ckpt)
 
     # -- optional cascade: brain-mask model zeroes non-brain input before the
     #    bleed model runs (reference: TBIEvaluator.py:221-232).
@@ -378,6 +387,48 @@ def cmd_infer(args):
           f"pixel_acc={summary['totals']['pixel_accuracy']:.4f}")
 
 
+def cmd_export(args):
+    """Serialize the restored inference forward as a StableHLO artifact
+    (jax.export) — the TPU-native analogue of the reference's end-of-training
+    whole-model SavedModel save (reference: MainNumpy.py:177).  The artifact
+    embeds the weights; `infer --exported FILE` (or any jax process via
+    infer.export.load_exported) serves it without the model code."""
+    import jax
+    import jax.numpy as jnp
+    from ultrasound_modeling_tpu.infer import export as ex
+    from ultrasound_modeling_tpu.models.registry import build_model
+    from ultrasound_modeling_tpu.train import optim, step as step_mod
+    from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
+
+    cfg = build_config(args)
+    mcfg, tcfg = cfg.model, cfg.train
+    h, w = mcfg.img_size
+    sample_shape = (h, w, mcfg.in_channels)
+    clip = tcfg.clip_global_norm if tcfg.loss != "class_balanced" else None
+    if mcfg.name == "mobileunet":
+        tx = optim.make_dual_rate_direction()
+    else:
+        tx = optim.make_direction(clip_norm=clip,
+                                  weight_decay=tcfg.weight_decay)
+    model = build_model(mcfg)
+    sample = jnp.zeros((1,) + sample_shape, jnp.float32)
+    state = step_mod.TrainState.create(model, tx, sample,
+                                       jax.random.PRNGKey(cfg.train.seed))
+    if args.ckpt:
+        state = Checkpointer(args.ckpt).restore(state)
+    platforms = (tuple(p.strip() for p in args.platforms.split(","))
+                 if args.platforms else None)
+    exported = ex.export_forward(mcfg, state, sample_shape,
+                                 batch=args.batch or None,
+                                 platforms=platforms)
+    out = args.out or f"{mcfg.name}.stablehlo"
+    ex.save_exported(exported, out)
+    batch_desc = args.batch or "symbolic"
+    print(f"exported {mcfg.name} forward (batch={batch_desc}, "
+          f"platforms={list(exported.platforms)}) -> {out} "
+          f"({os.path.getsize(out)} bytes)")
+
+
 def cmd_etl(args):
     from ultrasound_modeling_tpu.data.etl import run_etl
     objective = (args.objective if args.objective in ("iph", "waveform")
@@ -453,7 +504,22 @@ def main(argv=None):
                         "batches by TestingPaths (TBIEvaluator.py:132-160)")
     p.add_argument("--max-frames", type=int, default=0,
                    help="render at most N frames (0 = all)")
+    p.add_argument("--exported", default=None, metavar="FILE",
+                   help="serve a `cli export` StableHLO artifact instead of "
+                        "rebuilding the model from --ckpt (weights embedded)")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("export")
+    _add_common(p)
+    p.add_argument("--out", default=None,
+                   help="output artifact path (default <model>.stablehlo)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="pin a static batch size (default 0 = symbolic "
+                        "batch: one artifact serves any batch size)")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms, e.g. 'cpu,tpu' "
+                        "(default: this process's backend)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("etl")
     p.add_argument("--raw", required=True)

@@ -1,0 +1,91 @@
+"""Serving export: the trained forward as a self-contained StableHLO artifact.
+
+The reference ships trained models as whole Keras SavedModels written at the
+end of training (reference: MainNumpy.py:177, TBI_ResNest.py:472,
+TBI_TransUNet.py:1010) and reloaded by the evaluator with custom-loss
+injection (reference: TBIEvaluator.py:235-236) — the artifact carries graph +
+weights so serving never rebuilds the model in code.  The TPU-native
+equivalent is ``jax.export``: the jitted inference forward, with the restored
+parameters baked in as constants, is lowered to StableHLO and serialized.
+Serving deserializes and calls it without the model class, the config tree,
+or flax — only jax.
+
+Batch polymorphism: by default the batch axis is exported symbolically, so
+one artifact serves any batch size (shape-polymorphic StableHLO).  Pass a
+static ``batch`` to pin it — required for the fused Pallas attention path,
+which lowers to a fixed-grid custom call; under a symbolic batch this module
+forces the composed-XLA attention for that reason.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jex
+
+
+def _forward_fn(model_cfg, state):
+    """Closure ``x -> probs`` over the restored variables (eval mode)."""
+    from ultrasound_modeling_tpu.models.registry import build_model
+    from ultrasound_modeling_tpu.train.step import _apply
+
+    if model_cfg.compute_dtype != "float32":
+        from ultrasound_modeling_tpu.models import common as model_common
+        model_common.set_compute_dtype(model_cfg.compute_dtype)
+    model = build_model(model_cfg)
+
+    def fwd(x):
+        probs, _ = _apply(model, state.params, state.batch_stats, x,
+                          False, None)
+        return probs
+
+    return fwd
+
+
+def export_forward(model_cfg, state, sample_shape: Tuple[int, ...],
+                   batch: Optional[int] = None,
+                   platforms: Optional[Sequence[str]] = None
+                   ) -> jex.Exported:
+    """Export the restored inference forward ``x -> probs``.
+
+    ``sample_shape`` is the per-frame shape (H, W, C).  ``batch=None`` exports
+    a symbolic batch axis (one artifact, any batch size); an int pins it.
+    ``platforms`` optionally lowers for several backends in one artifact
+    (e.g. ("cpu", "tpu")); None = the default backend of this process.
+    """
+    if batch is None:
+        # Shape-polymorphic batch: the Pallas attention kernels lower to
+        # fixed-grid custom calls and cannot be batch-symbolic — trace the
+        # composed-XLA attention instead (numerics-equivalent; tested in
+        # test_attention_impls.py).
+        model_cfg = dataclasses.replace(model_cfg, attn_impl="xla",
+                                        swin_attn_impl="xla")
+        (b,) = jex.symbolic_shape("b")
+        in_shape = (b,) + tuple(sample_shape)
+    else:
+        in_shape = (int(batch),) + tuple(sample_shape)
+    fwd = _forward_fn(model_cfg, state)
+    spec = jax.ShapeDtypeStruct(in_shape, jnp.float32)
+    kwargs = {}
+    if platforms:
+        kwargs["platforms"] = tuple(platforms)
+    return jex.export(jax.jit(fwd), **kwargs)(spec)
+
+
+def save_exported(exported: jex.Exported, path: str) -> None:
+    with open(path, "wb") as fh:
+        fh.write(exported.serialize())
+
+
+def load_exported(path: str):
+    """Load a serialized artifact; returns ``fn(x) -> probs``.
+
+    The artifact embeds the weights — no checkpoint, model class, or config
+    is needed (the ``keras.models.load_model`` role —
+    reference: TBIEvaluator.py:235-236)."""
+    with open(path, "rb") as fh:
+        exported = jex.deserialize(fh.read())
+    return jax.jit(exported.call)
