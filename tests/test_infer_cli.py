@@ -201,3 +201,26 @@ def test_class_counts_two_class():
     assert sum(c["true_counts"]) == 4      # no pixel vanishes
     assert c["true_counts"] == [2, 2]      # 0.4 -> 0; 1.0 and 2.0 -> 1
     assert np.asarray(c["confusion"]).sum() == 4
+
+
+def test_infer_cli_data_parallel_matches_single(tmp_path, small_cfg, archive):
+    """--n-devices 2: one forward spans the mesh with the batch sharded over
+    the 'data' axis (the TPU-native version of the reference evaluator's
+    16-wide multiprocessing fan-out, TBIEvaluator.py:190-206).  Counts must
+    match the single-device run exactly (argmax of a batch-independent
+    eval forward)."""
+    ckpt = _make_ckpt(tmp_path / "dp_ck", small_cfg, 3)
+    out1 = tmp_path / "one_dev"
+    out2 = tmp_path / "two_dev"
+    cli.main(["infer", "--model", "transunet", "--config", small_cfg,
+              "--archive", archive, "--ckpt", ckpt, "--out", str(out1)])
+    cli.main(["infer", "--model", "transunet", "--config", small_cfg,
+              "--archive", archive, "--ckpt", ckpt, "--out", str(out2),
+              "--n-devices", "2"])
+    with open(out1 / "summary.json") as fh:
+        s1 = json.load(fh)
+    with open(out2 / "summary.json") as fh:
+        s2 = json.load(fh)
+    assert s1["totals"] == s2["totals"]
+    assert [f["name"] for f in s1["frames"]] == \
+        [f["name"] for f in s2["frames"]]

@@ -186,7 +186,7 @@ def cmd_eval(args):
     print({k: round(v, 5) for k, v in summary.items()})
 
 
-def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir):
+def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None):
     """Build a restored ``x -> probs`` forward for one model config.
 
     Rebuilds the same TrainState structure the Trainer saves (including the
@@ -194,7 +194,13 @@ def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir):
     loss/clip choices) so msgpack/orbax restores match, then closes the
     forward over the restored state — the TPU-native equivalent of the
     reference's per-process ``keras.models.load_model``
-    (reference: TBIEvaluator.py:221-236)."""
+    (reference: TBIEvaluator.py:221-236).
+
+    With a ``mesh``, params are replicated and each batch is sharded over the
+    ``data`` axis, so one forward spans all mesh devices — the TPU-native
+    version of the reference evaluator's 16-wide multiprocessing fan-out
+    (reference: TBIEvaluator.py:190-206), with ICI doing the scatter instead
+    of process forks."""
     import jax
     import jax.numpy as jnp
     from ultrasound_modeling_tpu.models.registry import build_model
@@ -219,7 +225,12 @@ def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir):
     if ckpt_dir:
         state = Checkpointer(ckpt_dir).restore(state)
     fwd = step_mod.make_forward(model)
-    return lambda b: fwd(state, b)
+    if mesh is None:
+        return lambda b: fwd(state, b)
+    from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+    state = jax.device_put(state, mesh_mod.replicated(mesh))
+    shard = mesh_mod.batch_sharding(mesh)
+    return lambda b: fwd(state, jax.device_put(b, shard))
 
 
 def cmd_infer(args):
@@ -253,6 +264,13 @@ def cmd_infer(args):
 
     import dataclasses as dc
     sample_shape = x.shape[1:]
+    mesh = None
+    if getattr(args, "n_devices", None) and args.n_devices > 1:
+        # data-parallel inference: one forward spans n_devices chips, batch
+        # sharded over the 'data' axis (the reference fans inference out
+        # 16-wide with process forks — TBIEvaluator.py:190-206)
+        from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(n_data=args.n_devices)
     if getattr(args, "exported", None):
         # serve a jax.export artifact: weights + program embedded, no
         # checkpoint or model rebuild (infer/export.py).  Requires a
@@ -262,7 +280,7 @@ def cmd_infer(args):
         bleed_fwd = load_exported(args.exported)
     else:
         bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape,
-                                  args.ckpt)
+                                  args.ckpt, mesh=mesh)
 
     # -- optional cascade: brain-mask model zeroes non-brain input before the
     #    bleed model runs (reference: TBIEvaluator.py:221-232).
@@ -278,7 +296,7 @@ def cmd_infer(args):
         brain_mcfg = dc.replace(
             brain_mcfg, num_classes=getattr(args, "cascade_classes", 2) or 2)
         brain_fwd = _make_forward(brain_mcfg, brain_tcfg, sample_shape,
-                                  args.cascade)
+                                  args.cascade, mesh=mesh)
         cascade = ev.make_cascade(brain_fwd, bleed_fwd, return_mask=True)
 
         def forward_with_mask(b):
@@ -297,6 +315,11 @@ def cmd_infer(args):
         print("no test frames in the input (empty archive/test split)")
         return
     bs = min(16, x.shape[0])
+    if mesh is not None:
+        # chunk size must divide evenly over the data axis; round up so the
+        # padded chunks shard cleanly
+        nd = args.n_devices
+        bs = -(-bs // nd) * nd
     nc = cfg.model.num_classes
 
     def render_frame(i, probs_i, name, mask_i=None):
