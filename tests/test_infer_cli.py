@@ -224,3 +224,15 @@ def test_infer_cli_data_parallel_matches_single(tmp_path, small_cfg, archive):
     assert s1["totals"] == s2["totals"]
     assert [f["name"] for f in s1["frames"]] == \
         [f["name"] for f in s2["frames"]]
+
+
+def test_infer_cli_select_by_scan(tmp_path, small_cfg, archive):
+    """--select filters frames by TestingPaths substring (the reference's
+    findImage patient/scan selection, TBIEvaluator.py:41-56)."""
+    ckpt = _make_ckpt(tmp_path / "sel_ck", small_cfg, 3)
+    out = tmp_path / "sel"
+    cli.main(["infer", "--model", "transunet", "--config", small_cfg,
+              "--archive", archive, "--ckpt", ckpt, "--cardiac",
+              "--select", "scanB", "--out", str(out)])
+    pngs = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    assert pngs == ["scanB_c00.png"]

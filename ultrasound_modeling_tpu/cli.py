@@ -257,6 +257,17 @@ def cmd_infer(args):
         ds = build_dataset(cfg, args)
         x = np.asarray(ds.x_te)
         y = np.asarray(ds.y_te)
+    if getattr(args, "select", None) and paths is not None:
+        # frame selection by patient/scan substring over TestingPaths —
+        # the reference's findImage (TBIEvaluator.py:41-56) picks a frame
+        # index by matching patientNum/scanNum inside the stored path
+        keep = np.array([args.select in str(p) for p in paths])
+        if not keep.any():
+            print(f"--select {args.select!r} matches no TestingPaths entry")
+            return
+        x, y = x[keep], y[keep]
+        bmode = bmode[keep] if bmode is not None else None
+        paths = [p for p, k in zip(paths, keep) if k]
     if getattr(args, "max_frames", 0):
         x, y = x[: args.max_frames], y[: args.max_frames]
         bmode = bmode[: args.max_frames] if bmode is not None else None
@@ -530,6 +541,10 @@ def main(argv=None):
     p.add_argument("--exported", default=None, metavar="FILE",
                    help="serve a `cli export` StableHLO artifact instead of "
                         "rebuilding the model from --ckpt (weights embedded)")
+    p.add_argument("--select", default=None, metavar="SUBSTR",
+                   help="only frames whose TestingPaths entry contains "
+                        "SUBSTR (patient/scan selection — the reference's "
+                        "findImage, TBIEvaluator.py:41-56)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("export")
