@@ -186,7 +186,8 @@ def cmd_eval(args):
     print({k: round(v, 5) for k, v in summary.items()})
 
 
-def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None):
+def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None,
+                  quantize=None):
     """Build a restored ``x -> probs`` forward for one model config.
 
     Rebuilds the same TrainState structure the Trainer saves (including the
@@ -224,6 +225,19 @@ def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None):
                                        jax.random.PRNGKey(0))
     if ckpt_dir:
         state = Checkpointer(ckpt_dir).restore(state)
+    if quantize:
+        if quantize != "int8":
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        from ultrasound_modeling_tpu.infer.quantize import (
+            make_quantized_forward)
+        # int8 leaves are host arrays baked as jit constants; under a mesh
+        # GSPMD replicates them against the sharded batch automatically
+        qfwd = make_quantized_forward(model, state)
+        if mesh is None:
+            return qfwd
+        from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+        shard = mesh_mod.batch_sharding(mesh)
+        return lambda b: qfwd(jax.device_put(b, shard))
     fwd = step_mod.make_forward(model)
     if mesh is None:
         return lambda b: fwd(state, b)
@@ -291,7 +305,8 @@ def cmd_infer(args):
         bleed_fwd = load_exported(args.exported)
     else:
         bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape,
-                                  args.ckpt, mesh=mesh)
+                                  args.ckpt, mesh=mesh,
+                                  quantize=getattr(args, "quantize", None))
 
     # -- optional cascade: brain-mask model zeroes non-brain input before the
     #    bleed model runs (reference: TBIEvaluator.py:221-232).
@@ -454,7 +469,8 @@ def cmd_export(args):
                  if args.platforms else None)
     exported = ex.export_forward(mcfg, state, sample_shape,
                                  batch=args.batch or None,
-                                 platforms=platforms)
+                                 platforms=platforms,
+                                 quantize=getattr(args, "quantize", None))
     out = args.out or f"{mcfg.name}.stablehlo"
     ex.save_exported(exported, out)
     batch_desc = args.batch or "symbolic"
@@ -545,6 +561,10 @@ def main(argv=None):
                    help="only frames whose TestingPaths entry contains "
                         "SUBSTR (patient/scan selection — the reference's "
                         "findImage, TBIEvaluator.py:41-56)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8 weight-only serving: kernels stored int8 with "
+                        "per-channel scales, dequantized on-chip "
+                        "(infer/quantize.py)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("export")
@@ -557,6 +577,9 @@ def main(argv=None):
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering platforms, e.g. 'cpu,tpu' "
                         "(default: this process's backend)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="embed int8 weights (per-channel scales, on-chip "
+                        "dequant): ~4x smaller artifact than f32")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("etl")
