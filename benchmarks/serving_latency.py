@@ -1,0 +1,100 @@
+"""Serving latency: flagship forward across batch sizes and weight formats.
+
+Measures pipelined (steady-state, one sync per window) and sync-p50 latency
+for batch {1, 8, 128} x {bf16, bf16 + int8 weights}: the int8 weight-only
+path (infer/quantize.py) halves weight HBM reads, which bounds the small-batch
+clinical per-frame latency (the reference serves batch-1 f32 on CPU —
+reference: TBIEvaluator.py:28,198,235-238).
+
+Usage: python benchmarks/serving_latency.py [--model transunet]
+Appends JSON rows to stdout (one per batch x variant).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from ultrasound_modeling_tpu.utils import jaxcache  # noqa: F401
+
+
+def _time_fwd(fwd, x, window=16):
+    import jax.numpy as jnp
+    import jax
+
+    @jax.jit
+    def fwd_sum(x):
+        return jnp.sum(fwd(x))
+
+    float(fwd_sum(x))
+    for _ in range(3):
+        float(fwd_sum(x))
+    sync = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(fwd_sum(x))
+        sync.append(time.perf_counter() - t0)
+    outs = [fwd_sum(x) for _ in range(2 * window)]
+    float(outs[-1])
+    pipelined = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs = [fwd_sum(x) for _ in range(window)]
+        float(outs[-1])
+        pipelined = min(pipelined, (time.perf_counter() - t0) / window)
+    return {
+        "sync_p50_ms": float(np.percentile(sync, 50) * 1e3),
+        "pipelined_ms": pipelined * 1e3,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="transunet")
+    ap.add_argument("--batches", default="1,8,128")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ultrasound_modeling_tpu.config import default_config
+    from ultrasound_modeling_tpu.infer.quantize import make_quantized_forward
+    from ultrasound_modeling_tpu.models import common
+    from ultrasound_modeling_tpu.models.registry import build_model
+    from ultrasound_modeling_tpu.train import optim, step as step_mod
+
+    cfg = default_config(args.model)
+    common.set_compute_dtype("bfloat16")
+    model = build_model(cfg.model)
+    h, w = cfg.model.img_size
+    c = cfg.model.in_channels
+    tx = optim.make_direction(clip_norm=1.0)
+    state = step_mod.TrainState.create(
+        model, tx, jnp.zeros((1, h, w, c), jnp.float32),
+        jax.random.PRNGKey(0))
+
+    fwd_full = step_mod.make_forward(model)
+    variants = {
+        "bf16": lambda x: fwd_full(state, x),
+        "bf16_int8w": make_quantized_forward(model, state),
+    }
+    rng = np.random.default_rng(0)
+    for b in (int(v) for v in args.batches.split(",")):
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+        for name, fwd in variants.items():
+            stats = _time_fwd(fwd, x)
+            print(json.dumps({
+                "model": args.model, "batch": b, "weights": name,
+                "pipelined_ms_per_batch": round(stats["pipelined_ms"], 4),
+                "pipelined_fps": round(b / (stats["pipelined_ms"] / 1e3), 1),
+                "sync_p50_ms": round(stats["sync_p50_ms"], 3),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
