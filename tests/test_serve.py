@@ -1,0 +1,220 @@
+"""Serving tests: dynamic micro-batching + the HTTP front.
+
+The reference serves inference as one forked process + full SavedModel
+reload PER FRAME (reference: TBIEvaluator.py:191-206,235-236); the
+framework's server keeps one resident compiled forward and coalesces
+concurrent requests into padded device batches (infer/server.py)."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultrasound_modeling_tpu.infer.server import (
+    DynamicBatcher, InferenceServer, _bucket_sizes)
+
+SHAPE = (4, 6, 2)  # tiny per-frame shape for batcher-level tests
+
+
+def _mk(n, fill):
+    return np.full((n,) + SHAPE, float(fill), np.float32)
+
+
+def test_bucket_sizes():
+    assert _bucket_sizes(64) == [1, 2, 4, 8, 16, 32, 64]
+    assert _bucket_sizes(5) == [1, 2, 4, 5]
+    assert _bucket_sizes(1) == [1]
+
+
+def test_batcher_scatter_identity():
+    b = DynamicBatcher(lambda x: x * 2.0, max_batch=8, window_ms=5.0)
+    results = {}
+
+    def call(i):
+        results[i] = b.predict(_mk(2, i + 1))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        np.testing.assert_array_equal(results[i], _mk(2, 2 * (i + 1)))
+    s = b.stats()
+    assert s["requests"] == 4 and s["frames"] == 8
+    b.stop()
+
+
+def test_batcher_coalesces_queued_requests():
+    seen = []
+    first = threading.Event()
+
+    def fn(x):
+        seen.append(x.shape[0])
+        if not first.is_set():
+            first.set()
+            time.sleep(0.25)  # hold the device: later requests must queue
+        return x
+
+    b = DynamicBatcher(fn, max_batch=8, window_ms=1.0)
+    threads = [threading.Thread(target=b.predict, args=(_mk(1, i),))
+               for i in range(4)]
+    threads[0].start()
+    first.wait(5)
+    for t in threads[1:]:
+        t.start()
+    time.sleep(0.05)  # all three are enqueued while fn sleeps
+    for t in threads:
+        t.join()
+    # the 3 queued single-row requests ran as ONE coalesced device batch
+    assert b.stats()["device_batches"] == 2
+    assert seen[1] >= 3
+    b.stop()
+
+
+def test_batcher_pads_to_bucket():
+    shapes = []
+
+    def fn(x):
+        shapes.append(x.shape[0])
+        return x
+
+    b = DynamicBatcher(fn, max_batch=8, window_ms=0.5)
+    out = b.predict(_mk(3, 1.0))
+    assert out.shape[0] == 3        # padding rows are sliced off
+    assert shapes == [4]            # 3 rows ran in the 4-bucket
+    assert b.stats()["padded_rows"] == 1
+    b.stop()
+
+
+def test_batcher_splits_oversize_request():
+    b = DynamicBatcher(lambda x: x + 1.0, max_batch=4, window_ms=0.5)
+    x = np.arange(10 * np.prod(SHAPE), dtype=np.float32).reshape((10,) + SHAPE)
+    np.testing.assert_array_equal(b.predict(x), x + 1.0)
+    assert b.stats()["device_batches"] == 3  # 4 + 4 + 2 rows
+    b.stop()
+
+
+def test_batcher_propagates_errors():
+    def fn(x):
+        raise RuntimeError("boom")
+
+    b = DynamicBatcher(fn, max_batch=4, window_ms=0.5)
+    with pytest.raises(RuntimeError, match="boom"):
+        b.predict(_mk(1, 0.0))
+    b.stop()
+
+
+# --------------------------------------------------------------------------
+# HTTP end-to-end over an exported artifact (tiny flagship)
+
+TOML = """
+[model]
+name = 'transunet'
+hidden_size = 64
+num_layers = 2
+num_heads = 2
+mlp_dim = 64
+grid = [4, 5]
+img_size = [64, 80]
+
+[train]
+batch_size = 2
+"""
+H, W = 64, 80
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from ultrasound_modeling_tpu.config import from_toml
+    from ultrasound_modeling_tpu.infer import export as ex
+    from ultrasound_modeling_tpu.models.registry import build_model
+    from ultrasound_modeling_tpu.train import optim, step as step_mod
+
+    cfgp = tmp_path_factory.mktemp("cfg") / "small.toml"
+    cfgp.write_text(TOML)
+    cfg = from_toml(str(cfgp))
+    model = build_model(cfg.model)
+    tx = optim.make_direction()
+    state = step_mod.TrainState.create(
+        model, tx, jnp.zeros((1, H, W, 10), jnp.float32),
+        jax.random.PRNGKey(0))
+    path = str(tmp_path_factory.mktemp("art") / "m.stablehlo")
+    ex.save_exported(
+        ex.export_forward(cfg.model, state, (H, W, 10), batch=None), path)
+
+    fn, sample_shape = ex.load_exported_meta(path)
+    assert sample_shape == (H, W, 10)
+    server = InferenceServer(fn, sample_shape, port=0, max_batch=4,
+                             window_ms=1.0, model_name="tiny")
+    server.start_background()
+    host, port = server.address
+    direct = step_mod.make_forward(build_model(cfg.model))
+    yield f"http://{host}:{port}", state, direct
+    server.shutdown()
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, resp.read(), resp.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_http_predict_npy_matches_direct(served):
+    base, state, direct = served
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, H, W, 10)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, x, allow_pickle=False)
+    status, body, ctype = _post(base + "/predict", buf.getvalue(),
+                                "application/octet-stream")
+    assert status == 200 and ctype == "application/octet-stream"
+    probs = np.load(io.BytesIO(body), allow_pickle=False)
+    want = np.asarray(direct(state, jnp.asarray(x)))
+    assert probs.shape == (2, H, W, 3)
+    np.testing.assert_allclose(probs, want, atol=1e-5)
+
+
+def test_http_predict_json_single_frame(served):
+    base, _, _ = served
+    x = np.zeros((H, W, 10), np.float32)
+    status, body, _ = _post(base + "/predict",
+                            json.dumps({"instances": x.tolist()}).encode(),
+                            "application/json")
+    assert status == 200
+    out = json.loads(body)
+    probs = np.asarray(out["probabilities"], np.float32)
+    assert probs.shape == (H, W, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+    assert np.asarray(out["classes"]).shape == (H, W)
+
+
+def test_http_rejects_bad_shape_and_route(served):
+    base, _, _ = served
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((2, 3, 4), np.float32), allow_pickle=False)
+    status, body, _ = _post(base + "/predict", buf.getvalue(),
+                            "application/octet-stream")
+    assert status == 400 and b"expected frames shaped" in body
+    status, _, _ = _post(base + "/nope", b"", "application/json")
+    assert status == 404
+
+
+def test_http_healthz_and_stats(served):
+    base, _, _ = served
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["sample_shape"] == [H, W, 10]
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["frames"] >= 3 and s["device_batches"] >= 1

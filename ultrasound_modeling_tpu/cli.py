@@ -479,6 +479,58 @@ def cmd_export(args):
           f"({os.path.getsize(out)} bytes)")
 
 
+def cmd_serve(args):
+    """Serve inference over HTTP with dynamic micro-batching — one resident
+    compiled forward instead of the reference's per-frame process fork +
+    SavedModel reload (reference: TBIEvaluator.py:191-206,235-236).  Loads
+    either a `cli export` StableHLO artifact (--exported) or a checkpoint
+    (--ckpt, model rebuilt from the config)."""
+    import jax
+    import jax.numpy as jnp
+    from ultrasound_modeling_tpu.infer.server import InferenceServer
+
+    if args.exported:
+        from ultrasound_modeling_tpu.infer.export import load_exported_meta
+        fn, sample_shape = load_exported_meta(args.exported)
+        name = os.path.basename(args.exported)
+    else:
+        from ultrasound_modeling_tpu.infer import export as ex
+        from ultrasound_modeling_tpu.models.registry import build_model
+        from ultrasound_modeling_tpu.train import optim, step as step_mod
+        from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
+
+        cfg = build_config(args)
+        mcfg = cfg.model
+        h, w = mcfg.img_size
+        sample_shape = (h, w, mcfg.in_channels)
+        model = build_model(mcfg)
+        tx = optim.make_direction()
+        state = step_mod.TrainState.create(
+            model, tx, jnp.zeros((1,) + sample_shape, jnp.float32),
+            jax.random.PRNGKey(cfg.train.seed))
+        if args.ckpt:
+            state = Checkpointer(args.ckpt).restore(state)
+        fn = jax.jit(ex._forward_fn(mcfg, state,
+                                    quantize=getattr(args, "quantize", None)))
+        name = mcfg.name
+
+    server = InferenceServer(fn, sample_shape, host=args.host,
+                             port=args.port, max_batch=args.max_batch,
+                             window_ms=args.window_ms, model_name=name)
+    host, port = server.address
+    if args.warmup:
+        print(f"warming {len(server.batcher.buckets)} batch buckets "
+              f"{server.batcher.buckets} ...", flush=True)
+        server.batcher.warmup(sample_shape)
+    print(f"serving {name} (frames {sample_shape}, max_batch "
+          f"{args.max_batch}, window {args.window_ms} ms) "
+          f"on http://{host}:{port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
 def cmd_etl(args):
     from ultrasound_modeling_tpu.data.etl import run_etl
     objective = (args.objective if args.objective in ("iph", "waveform")
@@ -581,6 +633,25 @@ def main(argv=None):
                    help="embed int8 weights (per-channel scales, on-chip "
                         "dequant): ~4x smaller artifact than f32")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("serve")
+    _add_common(p)
+    p.add_argument("--exported", default=None, metavar="FILE",
+                   help="serve a `cli export` StableHLO artifact (weights "
+                        "embedded) instead of rebuilding from --ckpt")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 = pick a free port (printed at startup)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="device batch ceiling for cross-request coalescing")
+    p.add_argument("--window-ms", type=float, default=2.0,
+                   help="max time a request waits for batch-mates")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile all padding buckets before listening")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8 weight-only serving from --ckpt "
+                        "(infer/quantize.py)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("etl")
     p.add_argument("--raw", required=True)

@@ -105,6 +105,14 @@ def load_exported(path: str):
     The artifact embeds the weights — no checkpoint, model class, or config
     is needed (the ``keras.models.load_model`` role —
     reference: TBIEvaluator.py:235-236)."""
+    return load_exported_meta(path)[0]
+
+
+def load_exported_meta(path: str):
+    """Like :func:`load_exported` but also returns the per-frame input shape
+    ``(H, W, C)`` recorded in the artifact (for serving-side validation;
+    the batch axis — symbolic or pinned — is dropped)."""
     with open(path, "rb") as fh:
         exported = jex.deserialize(fh.read())
-    return jax.jit(exported.call)
+    (aval,) = exported.in_avals
+    return jax.jit(exported.call), tuple(int(d) for d in aval.shape[1:])
