@@ -30,6 +30,11 @@ def test_bucket_sizes():
     assert _bucket_sizes(64) == [1, 2, 4, 8, 16, 32, 64]
     assert _bucket_sizes(5) == [1, 2, 4, 5]
     assert _bucket_sizes(1) == [1]
+    # data-parallel floor: every bucket divides over the mesh's data axis
+    assert _bucket_sizes(64, min_batch=8) == [8, 16, 32, 64]
+    assert _bucket_sizes(48, min_batch=8) == [8, 16, 32, 48]
+    with pytest.raises(ValueError):
+        DynamicBatcher(lambda x: x, max_batch=6, min_batch=4)
 
 
 def test_batcher_scatter_identity():
@@ -98,6 +103,34 @@ def test_batcher_splits_oversize_request():
     x = np.arange(10 * np.prod(SHAPE), dtype=np.float32).reshape((10,) + SHAPE)
     np.testing.assert_array_equal(b.predict(x), x + 1.0)
     assert b.stats()["device_batches"] == 3  # 4 + 4 + 2 rows
+    b.stop()
+
+
+def test_batcher_dp_forward_over_mesh():
+    """Data-parallel serving: coalesced batches shard over the mesh's data
+    axis (the `cli serve --n-devices N` path); min_batch floors the padding
+    bucket so every device batch divides evenly."""
+    from ultrasound_modeling_tpu.cli import _make_forward
+    from ultrasound_modeling_tpu.config import default_config
+    from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+
+    import dataclasses as dc
+    cfg = default_config("transunet")
+    mcfg = dc.replace(cfg.model, hidden_size=64, num_layers=1, num_heads=2,
+                      mlp_dim=64, grid=(4, 5), img_size=(64, 80),
+                      radix=2, kpaths=2)
+    shape = (64, 80, 10)
+    mesh = mesh_mod.make_mesh(n_data=4)
+    fn_dp = _make_forward(mcfg, cfg.train, shape, None, mesh=mesh)
+    fn_local = _make_forward(mcfg, cfg.train, shape, None)
+
+    b = DynamicBatcher(fn_dp, max_batch=8, window_ms=0.5, min_batch=4)
+    x = np.random.default_rng(0).normal(size=(3,) + shape).astype(np.float32)
+    got = b.predict(x)
+    want = np.asarray(fn_local(jnp.asarray(x)))
+    assert got.shape == (3, 64, 80, 3)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert b.stats()["padded_rows"] == 1  # 3 rows ran in the 4-bucket
     b.stop()
 
 

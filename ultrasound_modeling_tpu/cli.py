@@ -484,39 +484,38 @@ def cmd_serve(args):
     compiled forward instead of the reference's per-frame process fork +
     SavedModel reload (reference: TBIEvaluator.py:191-206,235-236).  Loads
     either a `cli export` StableHLO artifact (--exported) or a checkpoint
-    (--ckpt, model rebuilt from the config)."""
-    import jax
-    import jax.numpy as jnp
+    (--ckpt, model rebuilt from the config, same restore path as `infer`).
+    With --n-devices N the coalesced batches shard over the mesh's ``data``
+    axis (padding buckets floored at N so every batch divides evenly)."""
     from ultrasound_modeling_tpu.infer.server import InferenceServer
 
+    min_batch = 1
     if args.exported:
         from ultrasound_modeling_tpu.infer.export import load_exported_meta
         fn, sample_shape = load_exported_meta(args.exported)
         name = os.path.basename(args.exported)
     else:
-        from ultrasound_modeling_tpu.infer import export as ex
-        from ultrasound_modeling_tpu.models.registry import build_model
-        from ultrasound_modeling_tpu.train import optim, step as step_mod
-        from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
-
         cfg = build_config(args)
         mcfg = cfg.model
         h, w = mcfg.img_size
         sample_shape = (h, w, mcfg.in_channels)
-        model = build_model(mcfg)
-        tx = optim.make_direction()
-        state = step_mod.TrainState.create(
-            model, tx, jnp.zeros((1,) + sample_shape, jnp.float32),
-            jax.random.PRNGKey(cfg.train.seed))
-        if args.ckpt:
-            state = Checkpointer(args.ckpt).restore(state)
-        fn = jax.jit(ex._forward_fn(mcfg, state,
-                                    quantize=getattr(args, "quantize", None)))
+        mesh = None
+        if args.n_devices and args.n_devices > 1:
+            if args.max_batch % args.n_devices:
+                raise SystemExit(
+                    "--max-batch must be a multiple of --n-devices")
+            from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
+            mesh = mesh_mod.make_mesh(n_data=args.n_devices)
+            min_batch = args.n_devices
+        fn = _make_forward(mcfg, cfg.train, sample_shape, args.ckpt,
+                           mesh=mesh,
+                           quantize=getattr(args, "quantize", None))
         name = mcfg.name
 
     server = InferenceServer(fn, sample_shape, host=args.host,
                              port=args.port, max_batch=args.max_batch,
-                             window_ms=args.window_ms, model_name=name)
+                             window_ms=args.window_ms, model_name=name,
+                             min_batch=min_batch)
     host, port = server.address
     if args.warmup:
         print(f"warming {len(server.batcher.buckets)} batch buckets "

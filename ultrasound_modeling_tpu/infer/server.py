@@ -35,9 +35,12 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 
-def _bucket_sizes(max_batch: int):
-    """Power-of-two padding buckets up to ``max_batch`` (ascending)."""
-    sizes, b = [], 1
+def _bucket_sizes(max_batch: int, min_batch: int = 1):
+    """Padding buckets ``min_batch * 2^k`` up to ``max_batch`` (ascending).
+
+    ``min_batch > 1`` floors every device batch (data-parallel serving: the
+    coalesced batch must divide evenly over the mesh's ``data`` axis)."""
+    sizes, b = [], min_batch
     while b < max_batch:
         sizes.append(b)
         b *= 2
@@ -63,13 +66,15 @@ class DynamicBatcher:
     """
 
     def __init__(self, fn: Callable, max_batch: int = 64,
-                 window_ms: float = 2.0):
-        if max_batch < 1:
-            raise ValueError("max_batch must be >= 1")
+                 window_ms: float = 2.0, min_batch: int = 1):
+        if not 1 <= min_batch <= max_batch:
+            raise ValueError("need 1 <= min_batch <= max_batch")
+        if max_batch % min_batch:
+            raise ValueError("max_batch must be a multiple of min_batch")
         self.fn = fn
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
-        self.buckets = _bucket_sizes(self.max_batch)
+        self.buckets = _bucket_sizes(self.max_batch, int(min_batch))
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self.n_requests = 0
@@ -254,12 +259,13 @@ class InferenceServer:
                  host: str = "127.0.0.1", port: int = 8000,
                  max_batch: int = 64, window_ms: float = 2.0,
                  model_name: str = "model",
-                 request_timeout: float = 120.0):
+                 request_timeout: float = 120.0, min_batch: int = 1):
         self.sample_shape = tuple(sample_shape)
         self.model_name = model_name
         self.request_timeout = request_timeout
         self.batcher = DynamicBatcher(fn, max_batch=max_batch,
-                                      window_ms=window_ms)
+                                      window_ms=window_ms,
+                                      min_batch=min_batch)
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.app = self  # type: ignore[attr-defined]
 
