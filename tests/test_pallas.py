@@ -173,3 +173,83 @@ def test_group_flat_norm_4d_and_model_path(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
     rn.set_norm_impl("auto")   # restore (paranoia; other tests rely on it)
+
+
+def _damped_block_params(key, c, heads, mlp_dim):
+    """Block params with damped q/k kernels: random-init bf16 attention
+    saturates the softmax and amplifies rounding chaotically (the same
+    regime issue as benchmarks/vit_reference_crosscheck.py) — damping keeps
+    the comparison in the smooth regime so the tolerance tests the KERNEL,
+    not the conditioning."""
+    from ultrasound_modeling_tpu.models.transunet import Block
+
+    x0 = jnp.zeros((2, 10, c), jnp.float32)
+    blk = Block(c, heads, mlp_dim, 0.0, attn_impl="xla")
+    v = blk.init({"params": key}, x0, False)
+    p = jax.tree_util.tree_map(lambda a: a, v["params"])
+    for k in ("query_kernel", "key_kernel"):
+        p["attn"][k] = p["attn"][k] * 0.05
+    return blk, {"params": p}
+
+
+def test_transformer_block_fused_matches_composed(rng):
+    """Fused transformer block kernel (LN1+MHA+res+LN2+MLP+res) vs the
+    composed flax Block, bf16 compute, interpret mode."""
+    from ultrasound_modeling_tpu.models import common
+    from ultrasound_modeling_tpu.models.transunet import TRANSFORMER_LN_EPS
+
+    c, heads, mlp_dim = 64, 4, 128
+    common.set_compute_dtype("bfloat16")
+    try:
+        blk, v = _damped_block_params(jax.random.PRNGKey(0), c, heads,
+                                      mlp_dim)
+        x = jnp.asarray(rng.normal(size=(4, 10, c)), jnp.float32)
+        want = np.asarray(blk.apply(v, x, False), np.float32)
+        got = np.asarray(pk.transformer_block_fused(
+            x, v["params"], heads, scale=1.0 / np.sqrt(heads),
+            eps=TRANSFORMER_LN_EPS, batch_per_step=2, interpret=True),
+            np.float32)
+    finally:
+        common.set_compute_dtype(None)
+    assert got.shape == want.shape
+    quantum = np.abs(want).max() / 256.0
+    assert np.abs(got - want).max() <= 4 * quantum
+
+
+def test_transformer_stack_fused_encoder_path(rng):
+    """Encoder(attn_impl='pallas') at eval routes through the fused stack
+    (incl. the folded final encoder_norm); pin against the scanned XLA
+    path with the SAME params."""
+    from ultrasound_modeling_tpu.models import common
+    from ultrasound_modeling_tpu.models.transunet import Encoder
+
+    common.set_compute_dtype("bfloat16")
+    try:
+        x = jnp.asarray(rng.normal(size=(4, 10, 64)), jnp.float32)
+        enc_x = Encoder(64, 4, 3, 128, 0.0, attn_impl="xla")
+        enc_p = Encoder(64, 4, 3, 128, 0.0, attn_impl="pallas")
+        v = enc_x.init({"params": jax.random.PRNGKey(1)}, x, False)
+        # damp q/k for the smooth regime (see _damped_block_params)
+        p = v["params"]
+        blocks = dict(p["blocks"]["block"])
+        attn = dict(blocks["attn"])
+        attn["query_kernel"] = attn["query_kernel"] * 0.05
+        attn["key_kernel"] = attn["key_kernel"] * 0.05
+        blocks["attn"] = attn
+        v = {"params": {**p, "blocks": {"block": blocks}}}
+        want = np.asarray(enc_x.apply(v, x, False), np.float32)
+        got = np.asarray(enc_p.apply(v, x, False), np.float32)
+    finally:
+        common.set_compute_dtype(None)
+    quantum = np.abs(want).max() / 256.0
+    assert np.abs(got - want).max() <= 6 * quantum
+
+
+def test_transformer_block_fused_gelu_exact(rng):
+    """The kernel's rational-approximation erf must match exact GELU to far
+    below bf16 resolution."""
+    x = np.linspace(-6, 6, 4001, dtype=np.float32)
+    want = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
+    got = np.asarray(x * 0.5 * (1.0 + pk._erf(jnp.asarray(x) *
+                                              0.7071067811865476)))
+    assert np.abs(got - want).max() < 2e-6

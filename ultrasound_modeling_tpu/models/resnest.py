@@ -38,25 +38,42 @@ from ultrasound_modeling_tpu.models.common import (
     KERAS_BN_EPS, KERAS_BN_MOMENTUM, KERAS_LN_EPS, Norm, activation,
     avg_pool2, compute_dtype, conv, conv_transpose, he_normal)
 
-# per-branch norm lowering inside the fused split-attention stage:
-# 'auto' = Pallas fused kernel on TPU, einsum/XLA elsewhere.
+# per-branch norm lowering inside the fused split-attention stage.  Train
+# and eval tracings are gated separately and have OPPOSITE winners (both
+# re-verified by single-process interleaved A/B with scalar-pull sync):
+# train 'auto' = Pallas fused kernel on TPU (einsum backward costs ~5 ms/
+# step); eval 'xla' = the einsum lowering (44.6 vs 52.6 ms full forward at
+# batch 256, benchmarks/evalnorm_ab.py — XLA fuses the eval normalize into
+# the conv epilogues, which the opaque kernel call forbids, and that buys
+# more than the kernel's single-sweep stats save).
 _PALLAS_NORM = "auto"
+_PALLAS_NORM_EVAL = "xla"
 
 
-def _use_pallas_norm() -> bool:
-    if _PALLAS_NORM == "auto":
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except Exception:
-            return False
-    return _PALLAS_NORM == "pallas"
+def _platform_default() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
-def set_norm_impl(impl: str) -> None:
-    """'auto' | 'pallas' | 'xla' — test hook for the fused-stage norm."""
-    global _PALLAS_NORM
+def _use_pallas_norm(train: bool = True) -> bool:
+    impl = _PALLAS_NORM if train else _PALLAS_NORM_EVAL
+    if impl == "auto":
+        return _platform_default()
+    return impl == "pallas"
+
+
+def set_norm_impl(impl: str, eval_impl: str = None) -> None:
+    """'auto' | 'pallas' | 'xla' — test hook for the fused-stage norm.
+    ``eval_impl`` sets the eval-tracing gate; None leaves it unchanged
+    (its default is 'xla' — the measured eval winner)."""
+    global _PALLAS_NORM, _PALLAS_NORM_EVAL
     assert impl in ("auto", "pallas", "xla")
     _PALLAS_NORM = impl
+    if eval_impl is not None:
+        assert eval_impl in ("auto", "pallas", "xla")
+        _PALLAS_NORM_EVAL = eval_impl
 
 
 def _vmapped(module_cls, axis_size: int):
@@ -231,21 +248,46 @@ class ResidualS(nn.Module):
         sflat = scale.reshape(-1).astype(jnp.float32)
         bflat = bias.reshape(-1).astype(jnp.float32)
         if self.norm == "layer":
-            if train and _use_pallas_norm():
-                # TRAIN path: single-sweep fused kernel (fwd + custom-VJP
-                # bwd).  XLA lowers the einsum formulation below as 3+ full
-                # passes over HBM in the backward, with a badly tiled
-                # [*,F]x[F,F] contraction — measured ~5 ms/step of the
-                # flagship's backward.  EVAL path keeps the einsum: with no
-                # backward to mangle, XLA fuses it into the neighbouring
-                # conv epilogues and beats the kernel by ~15% at batch 256.
+            if _use_pallas_norm(train):
+                # TRAIN default: single-sweep fused kernel (fwd + custom-VJP
+                # bwd) — XLA lowers the einsum backward as 3+ full HBM
+                # passes (~5 ms/step of the flagship).  EVAL default stays
+                # the einsum: its stats do materialize a full-size f32 y*y
+                # operand (472 MB at batch 256 on stage 1 — device trace),
+                # but XLA fuses the normalize into the conv epilogues, and
+                # the fused forward still beats the kernel by 18% end to end
+                # (benchmarks/evalnorm_ab.py, 44.6 vs 52.6 ms at b256).
                 from ultrasound_modeling_tpu.ops.pallas_kernels import (
                     group_flat_norm)
                 return group_flat_norm(y, sflat, bflat, c, KERAS_LN_EPS)
+            if y.dtype == jnp.bfloat16:
+                # bf16 path: the Pallas kernel's precision scheme, in XLA.
+                # Group SUMS ride a 0/1 block-diagonal selection matrix —
+                # bf16 x {0,1} products are exact with f32 accumulation at
+                # DEFAULT precision — and the variance is the two-pass
+                # centered form with the centered values squared in bf16
+                # (error below the output's own bf16 quantum; the same
+                # scheme group_flat_norm is equivalence-tested under).  vs
+                # the former HIGHEST-precision one-pass einsum this drops
+                # 6x MXU stat passes and halves the squared-operand bytes
+                # (f32 y*y was 472 MB at batch 256 on stage 1 alone).
+                msel = jnp.kron(jnp.eye(f // c, dtype=jnp.float32),
+                                jnp.ones((c, c), jnp.float32)
+                                ).astype(jnp.bfloat16)
+                inv = 1.0 / c
+                mu = jnp.einsum("bhwf,fg->bhwg", y, msel,
+                                preferred_element_type=jnp.float32) * inv
+                yf = y.astype(jnp.float32)
+                zc = yf - mu
+                zq = (zc * zc).astype(jnp.bfloat16)
+                var = jnp.einsum("bhwf,fg->bhwg", zq, msel,
+                                 preferred_element_type=jnp.float32) * inv
+                out = zc * lax.rsqrt(var + KERAS_LN_EPS) * sflat + bflat
+                return out.astype(y.dtype)
             avg = jnp.kron(jnp.eye(f // c, dtype=y.dtype),
                            jnp.full((c, c), 1.0 / c, y.dtype))
-            # HIGHEST: TPU matmuls default to bf16 multiplies, which would
-            # truncate the group stats (~1e-2 relative).
+            # HIGHEST: TPU matmuls default to low-precision multiplies,
+            # which would truncate the group stats (~1e-2 relative).
             hi = lax.Precision.HIGHEST
             mu = jnp.einsum("bhwf,fg->bhwg", y, avg,
                             preferred_element_type=jnp.float32, precision=hi)

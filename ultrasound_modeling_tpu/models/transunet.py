@@ -206,8 +206,30 @@ class Encoder(nn.Module):
                   and not self.is_initializing()
                   and (self.pp_mesh.shape.get("pipe", 1) > 1
                        or self.pp_mesh.shape.get("model", 1) > 1))
+        # Whole-stack fused kernel on the inference path: each layer reads x
+        # from HBM once and writes it once (LN/attention/MLP/residuals all
+        # VMEM-resident) instead of round-tripping between every op.  Same
+        # gate as the fused attention ('pallas' at eval); params are the
+        # scanned tree, so checkpoints are interchangeable.
+        use_fused_stack = (self.attn_impl == "pallas" and not train
+                           and not use_pp and not self.is_initializing())
         if use_pp:
             x = self._pipelined(x, train)
+        elif use_fused_stack:
+            from ultrasound_modeling_tpu.ops.pallas_kernels import (
+                transformer_stack_fused)
+            import numpy as _np
+            stacked = self.get_variable("params", "blocks")["block"]
+            fin = self.get_variable("params", "encoder_norm")
+            # encoder_norm is folded into the last layer's kernel (a
+            # standalone LN after the kernel costs a full relayout copy of
+            # its input); param creation still goes through the flax module
+            # below on the init/train tracings.
+            return transformer_stack_fused(
+                x, stacked, self.num_heads,
+                scale=1.0 / float(_np.sqrt(self.num_heads)),
+                eps=TRANSFORMER_LN_EPS,
+                final_ln=(fin["scale"], fin["bias"]))
         else:
             x, _ = scanned(x, train)
         return nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(x)

@@ -247,6 +247,194 @@ _fused_attn_core.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused transformer block (inference)
+# ---------------------------------------------------------------------------
+#
+# One kernel per layer: LN1 -> MHA (qkv, scores, softmax, PV, out-proj) ->
+# residual -> LN2 -> MLP (fc1, exact GELU, fc2) -> residual, everything on
+# VMEM-resident tiles of T batch elements x S tokens.  The composed XLA
+# lowering round-trips the [B,S,C] activation to HBM between every one of
+# the ~12 ops; here each layer reads x once and writes x once (device
+# trace at batch 256: the 8-layer flagship stack costs 11.6 ms composed vs
+# a ~5.5 ms flops+bytes floor).  Inference only — training keeps the
+# composed path (autodiff through the XLA ops; the recompute-backward
+# variant measured slower for long sequences, BASELINE.md).
+
+
+def _erf(x):
+    """erf for the exact-GELU inside kernels: Mosaic lowers neither erf nor
+    erfc, so use the Abramowitz–Stegun 7.1.26 rational approximation
+    (max abs error 1.5e-7 — three decades below the bf16 output quantum)."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _tblock_kernel(x_ref, ln1_s_ref, ln1_b_ref, qkv_w_ref, qkv_b_ref,
+                   proj_w_ref, proj_b_ref, ln2_s_ref, ln2_b_ref,
+                   fc1_w_ref, fc1_b_ref, fc2_w_ref, fc2_b_ref, offmask_ref,
+                   fin_s_ref, fin_b_ref, out_ref, *, num_heads: int,
+                   scale: float, eps: float, c: int, final_ln: bool):
+    """One grid step: [T*S, C] rows of T batch elements through one
+    transformer block.  ``offmask_ref`` is -1e9 off the T diagonal [S,S]
+    blocks (batch elements must not attend to each other).  ``final_ln``
+    folds the stack's trailing encoder_norm into the last layer's kernel
+    (as a separate op its input arrives in the kernel's output layout and
+    XLA pays a relayout copy — 2.7 ms at batch 256)."""
+    xf = x_ref[:].astype(jnp.float32)                    # [rows, C]
+
+    def _ln(v, s_ref, b_ref):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        zc = v - mu
+        var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+        return zc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
+
+    h = _ln(xf, ln1_s_ref, ln1_b_ref).astype(jnp.bfloat16)
+    qkv = jnp.dot(h, qkv_w_ref[:],
+                  preferred_element_type=jnp.float32) + qkv_b_ref[:]
+    d = c // num_heads
+    head_outs = []
+    for hh in range(num_heads):
+        q = qkv[:, hh * d:(hh + 1) * d] * scale
+        k = qkv[:, c + hh * d:c + (hh + 1) * d]
+        v = qkv[:, 2 * c + hh * d:2 * c + (hh + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s + offmask_ref[:]
+        p = jax.nn.softmax(s, axis=-1)
+        head_outs.append(jnp.dot(p.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(head_outs, axis=-1).astype(jnp.bfloat16)
+    attn = jnp.dot(attn, proj_w_ref[:],
+                   preferred_element_type=jnp.float32) + proj_b_ref[:]
+    x1 = xf + attn                                        # residual (f32)
+
+    h2 = _ln(x1, ln2_s_ref, ln2_b_ref).astype(jnp.bfloat16)
+    m = jnp.dot(h2, fc1_w_ref[:],
+                preferred_element_type=jnp.float32) + fc1_b_ref[:]
+    g = (m * 0.5 * (1.0 + _erf(m * 0.7071067811865476))).astype(jnp.bfloat16)
+    y = jnp.dot(g, fc2_w_ref[:],
+                preferred_element_type=jnp.float32) + fc2_b_ref[:]
+    out = x1 + y
+    if final_ln:
+        out = _ln(out, fin_s_ref, fin_b_ref)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+_TBLOCK_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
+def transformer_block_fused(x: jnp.ndarray, p: dict, num_heads: int,
+                            scale: float, eps: float,
+                            batch_per_step: int = 4,
+                            final_ln: Optional[Tuple] = None,
+                            interpret: Optional[bool] = None) -> jnp.ndarray:
+    """One pre-LN transformer block, fused (inference).
+
+    ``x [B, S, C]``; ``p`` holds the block's params under the flax names:
+    ``attention_norm/{scale,bias}``, ``attn/{query,key,value,out}_{kernel,
+    bias}``, ``ffn_norm/{scale,bias}``, ``ffn/fc1|fc2/{kernel,bias}``.
+    ``scale`` is the attention scale (the reference's 1/sqrt(num_heads) —
+    reference: VisionTransformer.py:42).  ``final_ln``: optional
+    ``(scale, bias)`` of a trailing stack LayerNorm folded into this
+    layer's kernel."""
+    interpret = (not _on_tpu()) if interpret is None else interpret
+    b, s, c = x.shape
+    t = batch_per_step
+    while b % t:
+        t -= 1
+    rows = t * s
+
+    bf = jnp.bfloat16
+    attn = p["attn"]
+    qkv_w = jnp.concatenate([attn["query_kernel"], attn["key_kernel"],
+                             attn["value_kernel"]], axis=1).astype(bf)
+    qkv_b = jnp.concatenate([attn["query_bias"], attn["key_bias"],
+                             attn["value_bias"]]).astype(jnp.float32)
+    # -1e9 between different batch elements of the tile (block-diag locality)
+    offmask = jnp.asarray(
+        (1.0 - np.kron(np.eye(t, dtype=np.float32),
+                       np.ones((s, s), np.float32))) * -1e9)
+
+    args = (
+        x.reshape(b * s, c).astype(bf),
+        p["attention_norm"]["scale"].astype(jnp.float32),
+        p["attention_norm"]["bias"].astype(jnp.float32),
+        qkv_w, qkv_b,
+        attn["out_kernel"].astype(bf),
+        attn["out_bias"].astype(jnp.float32),
+        p["ffn_norm"]["scale"].astype(jnp.float32),
+        p["ffn_norm"]["bias"].astype(jnp.float32),
+        p["ffn"]["fc1"]["kernel"].astype(bf),
+        p["ffn"]["fc1"]["bias"].astype(jnp.float32),
+        p["ffn"]["fc2"]["kernel"].astype(bf),
+        p["ffn"]["fc2"]["bias"].astype(jnp.float32),
+        offmask,
+        (final_ln[0].astype(jnp.float32) if final_ln is not None
+         else jnp.ones((c,), jnp.float32)),
+        (final_ln[1].astype(jnp.float32) if final_ln is not None
+         else jnp.zeros((c,), jnp.float32)),
+    )
+    m = p["ffn"]["fc1"]["kernel"].shape[-1]
+    grid = (b // t,)
+
+    def vspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_tblock_kernel, num_heads=num_heads,
+                          scale=float(scale), eps=float(eps), c=c,
+                          final_ln=final_ln is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vspec((c,)), vspec((c,)),
+            vspec((c, 3 * c)), vspec((3 * c,)),
+            vspec((c, c)), vspec((c,)),
+            vspec((c,)), vspec((c,)),
+            vspec((c, m)), vspec((m,)),
+            vspec((m, c)), vspec((c,)),
+            vspec((rows, rows)),
+            vspec((c,)), vspec((c,)),
+        ],
+        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * s, c), jnp.bfloat16),
+        interpret=interpret,
+        compiler_params=None if interpret else _TBLOCK_VMEM,
+    )(*args)
+    return out.reshape(b, s, c).astype(x.dtype)
+
+
+def transformer_stack_fused(x: jnp.ndarray, stacked: dict, num_heads: int,
+                            scale: float, eps: float,
+                            batch_per_step: int = 4,
+                            final_ln: Optional[Tuple] = None,
+                            interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Apply a whole stack of transformer blocks (inference).
+
+    ``stacked``: the nn.scan param tree — every leaf has a leading [L]
+    layer axis (models/transunet.py Encoder 'blocks'/'block').
+    ``final_ln``: optional (scale, bias) of the stack's trailing
+    encoder_norm, folded into the last layer's kernel."""
+    n_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for layer in range(n_layers):
+        p = jax.tree_util.tree_map(lambda a: a[layer], stacked)
+        last = layer == n_layers - 1
+        x = transformer_block_fused(x, p, num_heads, scale, eps,
+                                    batch_per_step,
+                                    final_ln=final_ln if last else None,
+                                    interpret=interpret)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Fused per-group channel LayerNorm (flat layout)
 # ---------------------------------------------------------------------------
 #
