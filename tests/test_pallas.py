@@ -253,3 +253,36 @@ def test_transformer_block_fused_gelu_exact(rng):
     got = np.asarray(x * 0.5 * (1.0 + pk._erf(jnp.asarray(x) *
                                               0.7071067811865476)))
     assert np.abs(got - want).max() < 2e-6
+
+
+def test_vit_fused_block_path(rng):
+    """ViTSegmenter(attn_impl='pallas') eval tracing routes every Block
+    through the fused kernel (incl. folded encoder_norm); pin against the
+    composed path with the same params on a tiny config."""
+    from ultrasound_modeling_tpu.models import common
+    from ultrasound_modeling_tpu.models.vit import ViTSegmenter
+
+    common.set_compute_dtype("bfloat16")
+    try:
+        kw = dict(num_classes=3, hidden_size=32, num_heads=4, num_layers=2,
+                  grid=(4, 5), img_size=(32, 20), mlp_dim=64)
+        m_x = ViTSegmenter(attn_impl="xla", **kw)
+        m_p = ViTSegmenter(attn_impl="pallas", **kw)
+        x = jnp.asarray(rng.normal(size=(2, 32, 20, 10)), jnp.float32)
+        v = m_x.init({"params": jax.random.PRNGKey(2)}, x, False)
+        p = {**v["params"]}
+        for i in range(2):
+            blk = dict(p[f"block_{i}"])
+            attn = dict(blk["attn"])
+            attn["query_kernel"] = attn["query_kernel"] * 0.05
+            attn["key_kernel"] = attn["key_kernel"] * 0.05
+            blk["attn"] = attn
+            p[f"block_{i}"] = blk
+        v = {"params": p}
+        want = np.asarray(m_x.apply(v, x, False), np.float32)
+        got = np.asarray(m_p.apply(v, x, False), np.float32)
+    finally:
+        common.set_compute_dtype(None)
+    assert got.shape == want.shape
+    # outputs are post-softmax probabilities in [0, 1]
+    assert np.abs(got - want).max() <= 0.02

@@ -81,11 +81,34 @@ class ViTSegmenter(nn.Module):
             pos = self.param("position_embeddings", nn.initializers.zeros,
                              (1, gh * gw, self.hidden_size))
             emb = emb + pos.astype(emb.dtype)
-        for i in range(self.num_layers):
-            emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
-                        self.dropout_rate, attn_impl=self.attn_impl,
-                        name=f"block_{i}")(emb, train)
-        emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="encoder_norm")(emb)
+        # Whole-block fused kernel on the inference tracing (same gate and
+        # kernel as the TransUNet Encoder; see models/transunet.py).  Params
+        # are created by the flax Blocks below either way, so checkpoints
+        # are identical.
+        use_fused = (self.attn_impl == "pallas" and not train
+                     and not self.is_initializing())
+        if use_fused:
+            import numpy as _np
+
+            from ultrasound_modeling_tpu.ops.pallas_kernels import (
+                transformer_block_fused)
+            fin = self.get_variable("params", "encoder_norm")
+            scale = 1.0 / float(_np.sqrt(self.num_heads))
+            for i in range(self.num_layers):
+                p = self.get_variable("params", f"block_{i}")
+                last = i == self.num_layers - 1
+                emb = transformer_block_fused(
+                    emb, p, self.num_heads, scale, TRANSFORMER_LN_EPS,
+                    batch_per_step=max(1, 512 // emb.shape[1]),
+                    final_ln=(fin["scale"], fin["bias"]) if last else None)
+        else:
+            for i in range(self.num_layers):
+                emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
+                            self.dropout_rate, attn_impl=self.attn_impl,
+                            name=f"block_{i}")(emb, train)
+            emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS,
+                               dtype=compute_dtype(),
+                               name="encoder_norm")(emb)
         # Reshape the sequence buffer back onto the image plane
         # (reference: TBI_Transformer.py:188-189): 160*1280 = 256*80*10.
         feat = emb.reshape(b, h, w, -1)
