@@ -82,6 +82,10 @@ def test_export_static_batch_pins_shape(state_and_cfg, tmp_path):
     assert np.asarray(served(x)).shape == (2, H, W, 3)
     with pytest.raises(Exception):
         served(jnp.zeros((3, H, W, 10), jnp.float32))
+    # the pinned batch is recorded in the artifact metadata (serve/infer
+    # collapse their padding buckets to exactly it)
+    _, shape, batch = ex.load_exported_meta(path)
+    assert shape == (H, W, 10) and batch == 2
 
 
 def test_cli_export_then_infer_serves_artifact(small_cfg_path, tmp_path):

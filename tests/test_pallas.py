@@ -286,3 +286,33 @@ def test_vit_fused_block_path(rng):
     assert got.shape == want.shape
     # outputs are post-softmax probabilities in [0, 1]
     assert np.abs(got - want).max() <= 0.02
+
+
+def test_fused_stack_not_engaged_at_f32(rng):
+    """Under f32 compute (compute_dtype unset) the bf16-contract fused
+    block/stack kernels must NOT engage: 'pallas' and 'xla' eval paths of
+    the Encoder and the ViT blocks agree bitwise, because both route
+    through the same composed ops (the fused attention kernel preserves
+    dtype; the whole-block kernel does not and is gated to bf16)."""
+    from ultrasound_modeling_tpu.models.transunet import Encoder
+    from ultrasound_modeling_tpu.models.vit import ViTSegmenter
+
+    x = jnp.asarray(rng.normal(size=(2, 10, 64)), jnp.float32)
+    enc_x = Encoder(64, 4, 2, 128, 0.0, attn_impl="xla")
+    enc_p = Encoder(64, 4, 2, 128, 0.0, attn_impl="pallas")
+    v = enc_x.init({"params": jax.random.PRNGKey(3)}, x, False)
+    want = np.asarray(enc_x.apply(v, x, False))
+    got = np.asarray(enc_p.apply(v, x, False))
+    # the per-attention pallas kernel preserves f32, so only tiny
+    # accumulation-order differences are allowed
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    kw = dict(num_classes=3, hidden_size=32, num_heads=4, num_layers=2,
+              grid=(4, 5), img_size=(32, 20), mlp_dim=64)
+    m_x = ViTSegmenter(attn_impl="xla", **kw)
+    m_p = ViTSegmenter(attn_impl="pallas", **kw)
+    xi = jnp.asarray(rng.normal(size=(2, 32, 20, 10)), jnp.float32)
+    vv = m_x.init({"params": jax.random.PRNGKey(4)}, xi, False)
+    want = np.asarray(m_x.apply(vv, xi, False))
+    got = np.asarray(m_p.apply(vv, xi, False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -182,8 +182,9 @@ def served(tmp_path_factory):
     ex.save_exported(
         ex.export_forward(cfg.model, state, (H, W, 10), batch=None), path)
 
-    fn, sample_shape = ex.load_exported_meta(path)
+    fn, sample_shape, exported_batch = ex.load_exported_meta(path)
     assert sample_shape == (H, W, 10)
+    assert exported_batch is None  # symbolic-batch export
     server = InferenceServer(fn, sample_shape, port=0, max_batch=4,
                              window_ms=1.0, model_name="tiny")
     server.start_background()
@@ -251,3 +252,39 @@ def test_http_healthz_and_stats(served):
     with urllib.request.urlopen(base + "/stats", timeout=30) as r:
         s = json.loads(r.read())
     assert s["frames"] >= 3 and s["device_batches"] >= 1
+
+
+def test_http_empty_batch_is_client_error(served):
+    base, _, _ = served
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((0, H, W, 10), np.float32), allow_pickle=False)
+    status, body, _ = _post(base + "/predict", buf.getvalue(),
+                            "application/octet-stream")
+    assert status == 400 and b"empty batch" in body
+
+
+def test_predict_timeout_is_whole_call_and_cancels(monkeypatch):
+    """The predict timeout is one shared deadline across the split chunks,
+    and timed-out chunks are dropped by the batcher instead of running."""
+    import time as _time
+    from ultrasound_modeling_tpu.infer.server import DynamicBatcher
+
+    ran = []
+
+    def slow_fn(x):
+        ran.append(x.shape[0])
+        _time.sleep(0.4)
+        return np.zeros(x.shape[:1] + (1,), np.float32)
+
+    b = DynamicBatcher(slow_fn, max_batch=2, window_ms=1.0)
+    try:
+        t0 = _time.monotonic()
+        with pytest.raises(TimeoutError):
+            # 5 chunks x 0.4 s device time >> the 0.5 s budget; a per-chunk
+            # timeout would have allowed up to 5 x 0.5 s
+            b.predict(np.zeros((10, 4), np.float32), timeout=0.5)
+        assert _time.monotonic() - t0 < 1.5
+        _time.sleep(1.0)  # let the batcher drain the cancelled queue
+        assert sum(ran) < 10  # cancelled chunks never reached the device
+    finally:
+        b.stop()

@@ -186,22 +186,12 @@ def cmd_eval(args):
     print({k: round(v, 5) for k, v in summary.items()})
 
 
-def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None,
-                  quantize=None):
-    """Build a restored ``x -> probs`` forward for one model config.
-
-    Rebuilds the same TrainState structure the Trainer saves (including the
+def _restore_state(mcfg, tcfg, sample_shape, ckpt_dir):
+    """Rebuild the TrainState structure the Trainer saves (including the
     optimizer direction state, which depends on the training config's
-    loss/clip choices) so msgpack/orbax restores match, then closes the
-    forward over the restored state — the TPU-native equivalent of the
-    reference's per-process ``keras.models.load_model``
-    (reference: TBIEvaluator.py:221-236).
-
-    With a ``mesh``, params are replicated and each batch is sharded over the
-    ``data`` axis, so one forward spans all mesh devices — the TPU-native
-    version of the reference evaluator's 16-wide multiprocessing fan-out
-    (reference: TBIEvaluator.py:190-206), with ICI doing the scatter instead
-    of process forks."""
+    loss/clip choices) and restore ``ckpt_dir`` into it.  Shared by
+    ``infer``/``serve`` (via :func:`_make_forward`) and ``export`` so the
+    restore contract cannot drift between them."""
     import jax
     import jax.numpy as jnp
     from ultrasound_modeling_tpu.models.registry import build_model
@@ -225,6 +215,29 @@ def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None,
                                        jax.random.PRNGKey(0))
     if ckpt_dir:
         state = Checkpointer(ckpt_dir).restore(state)
+    return model, state
+
+
+def _make_forward(mcfg, tcfg, sample_shape, ckpt_dir, mesh=None,
+                  quantize=None):
+    """Build a restored ``x -> probs`` forward for one model config.
+
+    Rebuilds the same TrainState structure the Trainer saves (including the
+    optimizer direction state, which depends on the training config's
+    loss/clip choices) so msgpack/orbax restores match, then closes the
+    forward over the restored state — the TPU-native equivalent of the
+    reference's per-process ``keras.models.load_model``
+    (reference: TBIEvaluator.py:221-236).
+
+    With a ``mesh``, params are replicated and each batch is sharded over the
+    ``data`` axis, so one forward spans all mesh devices — the TPU-native
+    version of the reference evaluator's 16-wide multiprocessing fan-out
+    (reference: TBIEvaluator.py:190-206), with ICI doing the scatter instead
+    of process forks."""
+    import jax
+
+    model, state = _restore_state(mcfg, tcfg, sample_shape, ckpt_dir)
+    from ultrasound_modeling_tpu.train import step as step_mod
     if quantize:
         if quantize != "int8":
             raise ValueError(f"unknown quantize mode {quantize!r}")
@@ -271,6 +284,11 @@ def cmd_infer(args):
         ds = build_dataset(cfg, args)
         x = np.asarray(ds.x_te)
         y = np.asarray(ds.y_te)
+    if getattr(args, "select", None) and paths is None:
+        raise SystemExit(
+            "--select filters by TestingPaths entries, which only an "
+            "--archive input provides; the synthetic/test-split path has "
+            "no frame paths")
     if getattr(args, "select", None) and paths is not None:
         # frame selection by patient/scan substring over TestingPaths —
         # the reference's findImage (TBIEvaluator.py:41-56) picks a frame
@@ -296,13 +314,22 @@ def cmd_infer(args):
         # 16-wide with process forks — TBIEvaluator.py:190-206)
         from ultrasound_modeling_tpu.parallel import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(n_data=args.n_devices)
+    exported_batch = None
     if getattr(args, "exported", None):
         # serve a jax.export artifact: weights + program embedded, no
-        # checkpoint or model rebuild (infer/export.py).  Requires a
-        # symbolic-batch export (the default of `cli export`) since the
-        # batch loop below pads to a fixed chunk size.
-        from ultrasound_modeling_tpu.infer.export import load_exported
-        bleed_fwd = load_exported(args.exported)
+        # checkpoint or model rebuild (infer/export.py).  A static-batch
+        # export pins the chunk size below to the pinned batch.
+        if mesh is not None:
+            raise SystemExit(
+                "--exported artifacts are lowered for one device; "
+                "--n-devices needs --ckpt (model rebuilt and mesh-sharded), "
+                "or run one process per device")
+        if getattr(args, "quantize", None):
+            raise SystemExit(
+                "--quantize does nothing for --exported artifacts; "
+                "quantize at export time: `export --quantize int8`")
+        from ultrasound_modeling_tpu.infer.export import load_exported_meta
+        bleed_fwd, _, exported_batch = load_exported_meta(args.exported)
     else:
         bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape,
                                   args.ckpt, mesh=mesh,
@@ -341,6 +368,9 @@ def cmd_infer(args):
         print("no test frames in the input (empty archive/test split)")
         return
     bs = min(16, x.shape[0])
+    if exported_batch is not None:
+        # static-batch artifact: every chunk must be exactly the pinned size
+        bs = exported_batch
     if mesh is not None:
         # chunk size must divide evenly over the data axis; round up so the
         # padded chunks shard cleanly
@@ -442,29 +472,13 @@ def cmd_export(args):
     whole-model SavedModel save (reference: MainNumpy.py:177).  The artifact
     embeds the weights; `infer --exported FILE` (or any jax process via
     infer.export.load_exported) serves it without the model code."""
-    import jax
-    import jax.numpy as jnp
     from ultrasound_modeling_tpu.infer import export as ex
-    from ultrasound_modeling_tpu.models.registry import build_model
-    from ultrasound_modeling_tpu.train import optim, step as step_mod
-    from ultrasound_modeling_tpu.utils.checkpoint import Checkpointer
 
     cfg = build_config(args)
     mcfg, tcfg = cfg.model, cfg.train
     h, w = mcfg.img_size
     sample_shape = (h, w, mcfg.in_channels)
-    clip = tcfg.clip_global_norm if tcfg.loss != "class_balanced" else None
-    if mcfg.name == "mobileunet":
-        tx = optim.make_dual_rate_direction()
-    else:
-        tx = optim.make_direction(clip_norm=clip,
-                                  weight_decay=tcfg.weight_decay)
-    model = build_model(mcfg)
-    sample = jnp.zeros((1,) + sample_shape, jnp.float32)
-    state = step_mod.TrainState.create(model, tx, sample,
-                                       jax.random.PRNGKey(cfg.train.seed))
-    if args.ckpt:
-        state = Checkpointer(args.ckpt).restore(state)
+    _, state = _restore_state(mcfg, tcfg, sample_shape, args.ckpt)
     platforms = (tuple(p.strip() for p in args.platforms.split(","))
                  if args.platforms else None)
     exported = ex.export_forward(mcfg, state, sample_shape,
@@ -490,11 +504,32 @@ def cmd_serve(args):
     from ultrasound_modeling_tpu.infer.server import InferenceServer
 
     min_batch = 1
+    max_batch = args.max_batch
     if args.exported:
+        if args.n_devices and args.n_devices > 1:
+            raise SystemExit(
+                "--exported artifacts are lowered for one device; "
+                "--n-devices needs --ckpt (model rebuilt and mesh-sharded), "
+                "or run one serving process per device")
+        if getattr(args, "quantize", None):
+            raise SystemExit(
+                "--quantize does nothing for --exported artifacts; "
+                "quantize at export time: `export --quantize int8`")
         from ultrasound_modeling_tpu.infer.export import load_exported_meta
-        fn, sample_shape = load_exported_meta(args.exported)
+        fn, sample_shape, exported_batch = load_exported_meta(args.exported)
+        if exported_batch is not None:
+            # static-batch artifact: the only legal device batch is the
+            # pinned size — collapse the padding buckets to exactly it
+            min_batch = max_batch = exported_batch
+            print(f"static-batch artifact: every device batch padded to "
+                  f"{exported_batch}", flush=True)
         name = os.path.basename(args.exported)
     else:
+        if not args.ckpt:
+            raise SystemExit(
+                "serve needs trained weights: pass --ckpt CKPT_DIR or "
+                "--exported ARTIFACT (otherwise the server would answer "
+                "from randomly initialized parameters)")
         cfg = build_config(args)
         mcfg = cfg.model
         h, w = mcfg.img_size
@@ -513,7 +548,7 @@ def cmd_serve(args):
         name = mcfg.name
 
     server = InferenceServer(fn, sample_shape, host=args.host,
-                             port=args.port, max_batch=args.max_batch,
+                             port=args.port, max_batch=max_batch,
                              window_ms=args.window_ms, model_name=name,
                              min_batch=min_batch)
     host, port = server.address
@@ -522,7 +557,7 @@ def cmd_serve(args):
               f"{server.batcher.buckets} ...", flush=True)
         server.batcher.warmup(sample_shape)
     print(f"serving {name} (frames {sample_shape}, max_batch "
-          f"{args.max_batch}, window {args.window_ms} ms) "
+          f"{max_batch}, window {args.window_ms} ms) "
           f"on http://{host}:{port}", flush=True)
     try:
         server.serve_forever()

@@ -43,16 +43,8 @@ def _forward_fn(model_cfg, state, quantize: Optional[str] = None):
         if quantize != "int8":
             raise ValueError(f"unknown quantize mode {quantize!r}")
         from ultrasound_modeling_tpu.infer.quantize import (
-            dequantize_params, quantize_params)
-        qparams = quantize_params(state.params)
-
-        def fwd(x):
-            params = dequantize_params(qparams)
-            probs, _ = _apply(model, params, state.batch_stats, x,
-                              False, None)
-            return probs
-
-        return fwd
+            quantized_forward_fn)
+        return quantized_forward_fn(model, state)
 
     def fwd(x):
         probs, _ = _apply(model, state.params, state.batch_stats, x,
@@ -110,9 +102,16 @@ def load_exported(path: str):
 
 def load_exported_meta(path: str):
     """Like :func:`load_exported` but also returns the per-frame input shape
-    ``(H, W, C)`` recorded in the artifact (for serving-side validation;
-    the batch axis — symbolic or pinned — is dropped)."""
+    ``(H, W, C)`` recorded in the artifact and its batch axis: ``None`` for
+    a symbolic (any-size) batch, or the pinned int for a static export —
+    callers that feed varying batch sizes (serve's padding buckets, infer's
+    chunk loop) must pad to exactly that size when it is static."""
     with open(path, "rb") as fh:
         exported = jex.deserialize(fh.read())
     (aval,) = exported.in_avals
-    return jax.jit(exported.call), tuple(int(d) for d in aval.shape[1:])
+    try:
+        batch = int(aval.shape[0])
+    except Exception:  # symbolic dimension (InconclusiveDimensionOperation)
+        batch = None
+    return (jax.jit(exported.call),
+            tuple(int(d) for d in aval.shape[1:]), batch)

@@ -85,16 +85,22 @@ def quantized_fraction(qparams) -> float:
     return quant / max(total, 1)
 
 
-def make_quantized_forward(model, state):
-    """Jitted ``x -> probs`` with int8-resident weights (eval mode)."""
+def quantized_forward_fn(model, state):
+    """Unjitted ``x -> probs`` closure with int8-resident weights (eval
+    mode) — shared by :func:`make_quantized_forward` (jits it) and
+    infer/export.py (traces it through jax.export)."""
     from ultrasound_modeling_tpu.train.step import _apply
 
     qparams = quantize_params(state.params)
 
-    @jax.jit
     def fwd(x):
         params = dequantize_params(qparams)
         probs, _ = _apply(model, params, state.batch_stats, x, False, None)
         return probs
 
     return fwd
+
+
+def make_quantized_forward(model, state):
+    """Jitted ``x -> probs`` with int8-resident weights (eval mode)."""
+    return jax.jit(quantized_forward_fn(model, state))

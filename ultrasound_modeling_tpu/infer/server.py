@@ -54,6 +54,7 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     probs: Optional[np.ndarray] = None
     error: Optional[Exception] = None
+    cancelled: bool = False            # caller timed out; skip device work
 
 
 class DynamicBatcher:
@@ -88,7 +89,12 @@ class DynamicBatcher:
     def predict(self, x: np.ndarray, timeout: Optional[float] = None
                 ) -> np.ndarray:
         """Blocking predict; splits oversize requests into <=max_batch
-        chunks so one caller can never monopolize a device batch."""
+        chunks so one caller can never monopolize a device batch.
+
+        ``timeout`` bounds the WHOLE call (one shared deadline across the
+        chunks, not per chunk); on expiry the not-yet-run chunks are marked
+        cancelled so the batcher drops them instead of burning device
+        batches whose results nobody reads."""
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.shape[0] == 0:
             raise ValueError("empty batch")
@@ -99,11 +105,19 @@ class DynamicBatcher:
             self.n_frames += x.shape[0]
         for p in parts:
             self._q.put(p)
-        for p in parts:
-            if not p.done.wait(timeout):
-                raise TimeoutError("predict timed out")
-            if p.error is not None:
-                raise p.error
+        deadline = None if timeout is None else time.monotonic() + timeout
+        try:
+            for p in parts:
+                remaining = (None if deadline is None
+                             else max(0.0, deadline - time.monotonic()))
+                if not p.done.wait(remaining):
+                    raise TimeoutError("predict timed out")
+                if p.error is not None:
+                    raise p.error
+        except BaseException:
+            for p in parts:
+                p.cancelled = True
+            raise
         return np.concatenate([p.probs for p in parts], axis=0)
 
     def warmup(self, sample_shape: Tuple[int, ...], buckets=None) -> None:
@@ -147,6 +161,9 @@ class DynamicBatcher:
             self._run(batch)
 
     def _run(self, items):
+        items = [it for it in items if not it.cancelled]
+        if not items:
+            return
         x = (items[0].x if len(items) == 1
              else np.concatenate([it.x for it in items], axis=0))
         n = x.shape[0]
@@ -232,6 +249,8 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(
                     f"expected frames shaped {tuple(srv.sample_shape)}, "
                     f"got {x.shape}")
+            if x.shape[0] == 0:
+                raise ValueError("empty batch")
         except Exception as e:
             self._send_json(400, {"error": str(e)})
             return

@@ -211,7 +211,11 @@ class Encoder(nn.Module):
         # VMEM-resident) instead of round-tripping between every op.  Same
         # gate as the fused attention ('pallas' at eval); params are the
         # scanned tree, so checkpoints are interchangeable.
+        # The fused stack's matmul contract is bf16 (inputs and inter-layer
+        # stream), so it only engages under bf16 compute — f32 eval keeps
+        # the composed path's full-precision numerics.
         use_fused_stack = (self.attn_impl == "pallas" and not train
+                           and compute_dtype() == jnp.bfloat16
                            and not use_pp and not self.is_initializing())
         if use_pp:
             x = self._pipelined(x, train)

@@ -84,8 +84,11 @@ class ViTSegmenter(nn.Module):
         # Whole-block fused kernel on the inference tracing (same gate and
         # kernel as the TransUNet Encoder; see models/transunet.py).  Params
         # are created by the flax Blocks below either way, so checkpoints
-        # are identical.
+        # are identical.  The kernel's matmul contract is bf16 (inputs and
+        # inter-layer stream), so it only engages under bf16 compute — f32
+        # eval keeps the composed path's full-precision numerics.
         use_fused = (self.attn_impl == "pallas" and not train
+                     and compute_dtype() == jnp.bfloat16
                      and not self.is_initializing())
         if use_fused:
             import numpy as _np
