@@ -94,7 +94,9 @@ def test_batcher_pads_to_bucket():
     out = b.predict(_mk(3, 1.0))
     assert out.shape[0] == 3        # padding rows are sliced off
     assert shapes == [4]            # 3 rows ran in the 4-bucket
-    assert b.stats()["padded_rows"] == 1
+    s = b.stats()
+    assert s["padded_rows"] == 1
+    assert s["batch_ms_p50"] >= 0.0 and s["batch_ms_p95"] >= s["batch_ms_p50"]
     b.stop()
 
 

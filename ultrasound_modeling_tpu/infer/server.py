@@ -28,6 +28,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional, Tuple
@@ -82,6 +83,8 @@ class DynamicBatcher:
         self.n_frames = 0
         self.n_batches = 0
         self.n_padded_rows = 0
+        # ring buffer of recent device-batch wall times (seconds)
+        self._lat = deque(maxlen=512)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -171,6 +174,7 @@ class DynamicBatcher:
         if bucket > n:
             x = np.concatenate(
                 [x, np.zeros((bucket - n,) + x.shape[1:], x.dtype)], axis=0)
+        t0 = time.monotonic()
         try:
             probs = np.asarray(self.fn(x))[:n]
         except Exception as e:  # surface compile/shape errors to callers
@@ -178,9 +182,11 @@ class DynamicBatcher:
                 it.error = e
                 it.done.set()
             return
+        dt = time.monotonic() - t0
         with self._lock:
             self.n_batches += 1
             self.n_padded_rows += bucket - n
+            self._lat.append(dt)
         ofs = 0
         for it in items:
             k = it.x.shape[0]
@@ -190,6 +196,7 @@ class DynamicBatcher:
 
     def stats(self) -> dict:
         with self._lock:
+            lat = sorted(self._lat)
             return {
                 "requests": self.n_requests,
                 "frames": self.n_frames,
@@ -197,6 +204,12 @@ class DynamicBatcher:
                 "padded_rows": self.n_padded_rows,
                 "mean_rows_per_batch": (
                     self.n_frames / self.n_batches if self.n_batches else 0.0),
+                # wall time of the recent device batches (includes the
+                # host<->device link; first entries include compiles unless
+                # warmup() ran)
+                "batch_ms_p50": (1e3 * lat[len(lat) // 2] if lat else 0.0),
+                "batch_ms_p95": (1e3 * lat[int(len(lat) * 0.95)]
+                                 if lat else 0.0),
             }
 
 
