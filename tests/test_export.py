@@ -90,7 +90,11 @@ def test_export_static_batch_pins_shape(state_and_cfg, tmp_path):
 
 def test_cli_export_then_infer_serves_artifact(small_cfg_path, tmp_path):
     out = str(tmp_path / "flagship.stablehlo")
-    cli.main(["export", "--config", small_cfg_path, "--out", out])
+    # ckpt-less export requires the explicit --init-random escape hatch
+    with pytest.raises(SystemExit, match="trained weights"):
+        cli.main(["export", "--config", small_cfg_path, "--out", out])
+    cli.main(["export", "--config", small_cfg_path, "--out", out,
+              "--init-random"])
     assert os.path.getsize(out) > 0
 
     # the evaluator serves the artifact without a checkpoint or model rebuild

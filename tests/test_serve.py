@@ -17,7 +17,7 @@ import numpy as np
 import pytest
 
 from ultrasound_modeling_tpu.infer.server import (
-    DynamicBatcher, InferenceServer, _bucket_sizes)
+    DynamicBatcher, InferenceServer, ServerOverloadedError, _bucket_sizes)
 
 SHAPE = (4, 6, 2)  # tiny per-frame shape for batcher-level tests
 
@@ -134,6 +134,66 @@ def test_batcher_dp_forward_over_mesh():
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert b.stats()["padded_rows"] == 1  # 3 rows ran in the 4-bucket
     b.stop()
+
+
+def test_batcher_rejects_when_saturated():
+    """Admission control: once max_pending frames are in flight, further
+    submits raise ServerOverloadedError instead of growing the queue."""
+    release = threading.Event()
+
+    def slow_fn(x):
+        release.wait(5)
+        return x
+
+    b = DynamicBatcher(slow_fn, max_batch=2, window_ms=0.5, max_pending=4)
+    try:
+        errs, done = [], []
+
+        def call(i):
+            try:
+                done.append(b.predict(_mk(2, i)))
+            except ServerOverloadedError as e:
+                errs.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+            time.sleep(0.05)  # deterministic admission order
+        # 2 requests x 2 frames fill the budget; the other 2 are refused
+        assert len(errs) == 2
+        assert b.stats()["rejected"] == 2
+        assert b.stats()["inflight_frames"] <= 4
+        release.set()
+        for t in threads:
+            t.join()
+        assert len(done) == 2
+        # executed-frame accounting excludes the rejected requests
+        assert b.stats()["frames"] == 4
+    finally:
+        release.set()
+        b.stop()
+
+
+def test_batcher_timeout_not_counted_as_executed_frames():
+    """Cancelled chunks release their admission budget and never count as
+    executed frames (stats stay truthful under timeouts)."""
+    def slow_fn(x):
+        time.sleep(0.4)
+        return x
+
+    b = DynamicBatcher(slow_fn, max_batch=2, window_ms=0.5, max_pending=16)
+    try:
+        with pytest.raises(TimeoutError):
+            b.predict(_mk(8, 1.0), timeout=0.5)
+        time.sleep(1.2)  # batcher drains the cancelled chunks
+        s = b.stats()
+        assert s["timeouts"] == 1
+        assert s["frames"] < 8          # only chunks that actually ran
+        assert s["inflight_frames"] == 0  # budget fully released
+        if s["device_batches"]:
+            assert s["mean_rows_per_batch"] <= 2.0
+    finally:
+        b.stop()
 
 
 def test_batcher_propagates_errors():
@@ -263,6 +323,91 @@ def test_http_empty_batch_is_client_error(served):
     status, body, _ = _post(base + "/predict", buf.getvalue(),
                             "application/octet-stream")
     assert status == 400 and b"empty batch" in body
+
+
+def test_http_overload_returns_503_and_oversize_returns_413():
+    """End-to-end backpressure: saturating the admission budget returns 503
+    with Retry-After; an oversized Content-Length is refused with 413
+    before the body is read; a slow model returns 504 on deadline."""
+    release = threading.Event()
+    shape = (4, 6, 2)
+
+    def slow_fn(x):
+        release.wait(10)
+        return x
+
+    server = InferenceServer(slow_fn, shape, port=0, max_batch=1,
+                             window_ms=0.5, max_pending=1,
+                             max_body_bytes=10_000,
+                             request_timeout=30.0)
+    server.start_background()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((1,) + shape, np.float32), allow_pickle=False)
+        frame = buf.getvalue()
+
+        codes, hdrs = [], []
+
+        def post():
+            req = urllib.request.Request(
+                base + "/predict", data=frame,
+                headers={"Content-Type": "application/octet-stream"})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+                hdrs.append(e.headers.get("Retry-After"))
+
+        threads = [threading.Thread(target=post) for _ in range(4)]
+        for t in threads:
+            t.start()
+            time.sleep(0.05)
+        time.sleep(0.2)
+        # budget = 1 frame: one in flight, the rest refused immediately
+        assert codes.count(503) == 3
+        assert hdrs and all(h == "1" for h in hdrs)
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["rejected"] == 3 and s["max_pending"] == 1
+        assert s["inflight_frames"] <= 1
+
+        # oversized body: refused before reading (413), memory bounded
+        big = np.zeros((200,) + shape, np.float32)
+        buf = io.BytesIO()
+        np.save(buf, big, allow_pickle=False)
+        status, body, _ = _post(base + "/predict", buf.getvalue(),
+                                "application/octet-stream")
+        assert status == 413 and b"exceeds" in body
+        release.set()
+        for t in threads:
+            t.join()
+        assert codes.count(200) == 1
+    finally:
+        release.set()
+        server.shutdown()
+
+
+def test_http_timeout_returns_504():
+    def never(x):
+        time.sleep(2.0)
+        return x
+
+    shape = (4, 6, 2)
+    server = InferenceServer(never, shape, port=0, max_batch=1,
+                             window_ms=0.5, request_timeout=0.3)
+    server.start_background()
+    host, port = server.address
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((1,) + shape, np.float32), allow_pickle=False)
+        status, body, _ = _post(f"http://{host}:{port}/predict",
+                                buf.getvalue(), "application/octet-stream")
+        assert status == 504 and b"timed out" in body
+    finally:
+        server.shutdown()
 
 
 def test_predict_timeout_is_whole_call_and_cancels(monkeypatch):

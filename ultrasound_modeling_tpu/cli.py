@@ -123,6 +123,17 @@ def cmd_train(args):
         print(f"distributed: processes={jax.process_count()} "
               f"index={jax.process_index()} active={active}")
     cfg = build_config(args)
+    if cfg.model.name == "vit":
+        # measured ceiling, surfaced where users meet it (README "Model
+        # families", BASELINE.md accuracy table): the conv-free pure ViT
+        # scores bleed Dice exactly 0 in every swept configuration, and the
+        # implementation is proven weight-identical to the reference's own
+        # TF model (PARITY.md) — the architecture, not the port, is the cause
+        print("WARNING: the pure ViT family never learns the bleed class "
+              "(measured bleed Dice = 0.0 across lr/loss/pos-emb/conv-stem "
+              "sweeps; see README 'Model families' and PARITY.md). It ships "
+              "for reference parity — use transunet/swin/resnest_unet for "
+              "real segmentation.", flush=True)
     ds = build_dataset(cfg, args)
     mesh = None
     tp = max(int(getattr(args, "tp", 1) or 1), 1)
@@ -211,8 +222,10 @@ def _restore_state(mcfg, tcfg, sample_shape, ckpt_dir):
         tx = optim.make_direction(clip_norm=clip,
                                   weight_decay=tcfg.weight_decay)
     sample = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
-    state = step_mod.TrainState.create(model, tx, sample,
-                                       jax.random.PRNGKey(0))
+    # init from the TRAIN seed (not a fixed 0) so a ckpt-less build matches
+    # what `cli train` would have initialized
+    state = step_mod.TrainState.create(
+        model, tx, sample, jax.random.PRNGKey(getattr(tcfg, "seed", 0)))
     if ckpt_dir:
         state = Checkpointer(ckpt_dir).restore(state)
     return model, state
@@ -329,7 +342,16 @@ def cmd_infer(args):
                 "--quantize does nothing for --exported artifacts; "
                 "quantize at export time: `export --quantize int8`")
         from ultrasound_modeling_tpu.infer.export import load_exported_meta
-        bleed_fwd, _, exported_batch = load_exported_meta(args.exported)
+        bleed_fwd, exported_shape, exported_batch = load_exported_meta(
+            args.exported)
+        if tuple(sample_shape) != tuple(exported_shape):
+            # validate up front (serve does the same via sample_shape):
+            # otherwise mismatched archives die in a deep jax trace error
+            raise SystemExit(
+                f"--exported artifact was lowered for frames shaped "
+                f"{tuple(exported_shape)}, but the input provides "
+                f"{tuple(sample_shape)}; re-export for this archive or "
+                f"pass matching data")
     else:
         bleed_fwd = _make_forward(cfg.model, cfg.train, sample_shape,
                                   args.ckpt, mesh=mesh,
@@ -474,6 +496,13 @@ def cmd_export(args):
     infer.export.load_exported) serves it without the model code."""
     from ultrasound_modeling_tpu.infer import export as ex
 
+    if not args.ckpt and not getattr(args, "init_random", False):
+        # same footgun guard as `serve`: an artifact of random weights is
+        # never what a user wants unless they say so explicitly
+        raise SystemExit(
+            "export needs trained weights: pass --ckpt CKPT_DIR (or "
+            "--init-random to deliberately export freshly initialized "
+            "parameters, e.g. for artifact plumbing tests)")
     cfg = build_config(args)
     mcfg, tcfg = cfg.model, cfg.train
     h, w = mcfg.img_size
@@ -550,7 +579,10 @@ def cmd_serve(args):
     server = InferenceServer(fn, sample_shape, host=args.host,
                              port=args.port, max_batch=max_batch,
                              window_ms=args.window_ms, model_name=name,
-                             min_batch=min_batch)
+                             min_batch=min_batch,
+                             max_pending=getattr(args, "max_pending", 0),
+                             request_timeout=getattr(args, "request_timeout",
+                                                     120.0))
     host, port = server.address
     if args.warmup:
         print(f"warming {len(server.batcher.buckets)} batch buckets "
@@ -666,6 +698,9 @@ def main(argv=None):
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="embed int8 weights (per-channel scales, on-chip "
                         "dequant): ~4x smaller artifact than f32")
+    p.add_argument("--init-random", action="store_true",
+                   help="allow exporting without --ckpt (freshly "
+                        "initialized weights — plumbing tests only)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("serve")
@@ -685,6 +720,14 @@ def main(argv=None):
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="int8 weight-only serving from --ckpt "
                         "(infer/quantize.py)")
+    p.add_argument("--max-pending", type=int, default=0,
+                   help="admission budget in frames; requests beyond it get "
+                        "503 + Retry-After instead of queueing unboundedly "
+                        "(0 = 8 device batches; a single request larger "
+                        "than this is always refused — split client-side)")
+    p.add_argument("--request-timeout", type=float, default=120.0,
+                   help="per-request deadline in seconds (expiry returns "
+                        "504 and cancels not-yet-run chunks)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("etl")

@@ -36,6 +36,12 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised at submit time when the batcher's pending-frame budget is
+    exhausted — the backpressure signal (HTTP 503) instead of unbounded
+    queue growth."""
+
+
 def _bucket_sizes(max_batch: int, min_batch: int = 1):
     """Padding buckets ``min_batch * 2^k`` up to ``max_batch`` (ascending).
 
@@ -68,7 +74,8 @@ class DynamicBatcher:
     """
 
     def __init__(self, fn: Callable, max_batch: int = 64,
-                 window_ms: float = 2.0, min_batch: int = 1):
+                 window_ms: float = 2.0, min_batch: int = 1,
+                 max_pending: int = 0):
         if not 1 <= min_batch <= max_batch:
             raise ValueError("need 1 <= min_batch <= max_batch")
         if max_batch % min_batch:
@@ -77,10 +84,17 @@ class DynamicBatcher:
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
         self.buckets = _bucket_sizes(self.max_batch, int(min_batch))
+        # Admission budget in FRAMES: submits beyond it raise
+        # ServerOverloadedError instead of growing the queue without bound.
+        # 0 = default 8 device batches of headroom.
+        self.max_pending = int(max_pending) or 8 * self.max_batch
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
+        self._inflight = 0                 # admitted frames not yet drained
         self.n_requests = 0
-        self.n_frames = 0
+        self.n_frames = 0                  # frames that actually EXECUTED
+        self.n_rejected = 0                # requests refused at admission
+        self.n_timeouts = 0                # predict() deadline expiries
         self.n_batches = 0
         self.n_padded_rows = 0
         # ring buffer of recent device-batch wall times (seconds)
@@ -97,15 +111,26 @@ class DynamicBatcher:
         ``timeout`` bounds the WHOLE call (one shared deadline across the
         chunks, not per chunk); on expiry the not-yet-run chunks are marked
         cancelled so the batcher drops them instead of burning device
-        batches whose results nobody reads."""
+        batches whose results nobody reads.
+
+        Raises :class:`ServerOverloadedError` (without enqueuing anything)
+        when admitting the request would exceed ``max_pending`` frames —
+        memory stays bounded under bursts and callers get an explicit
+        back-off signal."""
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.shape[0] == 0:
             raise ValueError("empty batch")
-        parts = [_Pending(x[i:i + self.max_batch])
-                 for i in range(0, x.shape[0], self.max_batch)]
+        n = x.shape[0]
         with self._lock:
+            if self._inflight + n > self.max_pending:
+                self.n_rejected += 1
+                raise ServerOverloadedError(
+                    f"server overloaded: {self._inflight} frames pending "
+                    f"(budget {self.max_pending}), retry later")
+            self._inflight += n
             self.n_requests += 1
-            self.n_frames += x.shape[0]
+        parts = [_Pending(x[i:i + self.max_batch])
+                 for i in range(0, n, self.max_batch)]
         for p in parts:
             self._q.put(p)
         deadline = None if timeout is None else time.monotonic() + timeout
@@ -114,6 +139,8 @@ class DynamicBatcher:
                 remaining = (None if deadline is None
                              else max(0.0, deadline - time.monotonic()))
                 if not p.done.wait(remaining):
+                    with self._lock:
+                        self.n_timeouts += 1
                     raise TimeoutError("predict timed out")
                 if p.error is not None:
                     raise p.error
@@ -164,6 +191,16 @@ class DynamicBatcher:
             self._run(batch)
 
     def _run(self, items):
+        try:
+            self._run_inner(items)
+        finally:
+            # every drained chunk — cancelled, failed, or served — releases
+            # its admission budget only once its device work is over, so
+            # ``max_pending`` bounds queued AND executing frames together
+            with self._lock:
+                self._inflight -= sum(it.x.shape[0] for it in items)
+
+    def _run_inner(self, items):
         items = [it for it in items if not it.cancelled]
         if not items:
             return
@@ -185,6 +222,9 @@ class DynamicBatcher:
         dt = time.monotonic() - t0
         with self._lock:
             self.n_batches += 1
+            # counted at EXECUTION time (not submit), so cancelled/timed-out
+            # chunks never inflate frames / mean_rows_per_batch
+            self.n_frames += n
             self.n_padded_rows += bucket - n
             self._lat.append(dt)
         ofs = 0
@@ -200,6 +240,10 @@ class DynamicBatcher:
             return {
                 "requests": self.n_requests,
                 "frames": self.n_frames,
+                "rejected": self.n_rejected,
+                "timeouts": self.n_timeouts,
+                "inflight_frames": self._inflight,
+                "max_pending": self.max_pending,
                 "device_batches": self.n_batches,
                 "padded_rows": self.n_padded_rows,
                 "mean_rows_per_batch": (
@@ -245,8 +289,22 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/predict":
             self._send_json(404, {"error": f"no route {self.path}"})
             return
+        length = self.headers.get("Content-Length")
+        if length is None:
+            self.close_connection = True
+            self._send_json(411, {"error": "Content-Length required"})
+            return
+        length = int(length)
+        if length > srv.max_body_bytes:
+            # refuse WITHOUT reading the body: a burst of oversized posts
+            # must not be able to grow memory
+            self.close_connection = True
+            self._send_json(413, {
+                "error": f"body {length} bytes exceeds the "
+                         f"{srv.max_body_bytes}-byte limit"})
+            return
         try:
-            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "application/octet-stream")
             as_json = ctype.startswith("application/json")
             if as_json:
@@ -269,6 +327,20 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             probs = srv.batcher.predict(x, timeout=srv.request_timeout)
+        except ServerOverloadedError as e:
+            # expected overload signal — distinct from model failures so
+            # clients can back off (Retry-After is advisory)
+            self.send_response(503)
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        except TimeoutError as e:
+            self._send_json(504, {"error": str(e)})
+            return
         except Exception as e:
             self._send_json(500, {"error": str(e)})
             return
@@ -291,13 +363,21 @@ class InferenceServer:
                  host: str = "127.0.0.1", port: int = 8000,
                  max_batch: int = 64, window_ms: float = 2.0,
                  model_name: str = "model",
-                 request_timeout: float = 120.0, min_batch: int = 1):
+                 request_timeout: float = 120.0, min_batch: int = 1,
+                 max_pending: int = 0, max_body_bytes: int = 0):
         self.sample_shape = tuple(sample_shape)
         self.model_name = model_name
         self.request_timeout = request_timeout
+        # body cap: the largest legal binary request is max_pending frames;
+        # JSON encodes ~5x wider than 4-byte binary, so allow 8x + slack.
+        frame_bytes = 4 * int(np.prod(sample_shape))
+        pending = int(max_pending) or 8 * int(max_batch)
+        self.max_body_bytes = int(max_body_bytes) or (
+            8 * frame_bytes * pending + (1 << 20))
         self.batcher = DynamicBatcher(fn, max_batch=max_batch,
                                       window_ms=window_ms,
-                                      min_batch=min_batch)
+                                      min_batch=min_batch,
+                                      max_pending=max_pending)
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.app = self  # type: ignore[attr-defined]
 
