@@ -1,7 +1,8 @@
 """Serving latency: flagship forward across batch sizes and weight formats.
 
-Measures pipelined (steady-state, one sync per window) and sync-p50 latency
-for batch {1, 8, 128} x {bf16, bf16 + int8 weights}: the int8 weight-only
+Measures pipelined (steady-state, one sync per window) and sync p50/p99
+latency for batch {1, 8, 64, 128} x {f32, bf16, bf16 + int8 weights} (dtype
+selected with --dtype; int8 rides bf16): the int8 weight-only
 path (infer/quantize.py) halves weight HBM reads, which bounds the small-batch
 clinical per-frame latency (the reference serves batch-1 f32 on CPU —
 reference: TBIEvaluator.py:28,198,235-238).
@@ -35,7 +36,7 @@ def _time_fwd(fwd, x, window=16):
     for _ in range(3):
         float(fwd_sum(x))
     sync = []
-    for _ in range(15):
+    for _ in range(40):
         t0 = time.perf_counter()
         float(fwd_sum(x))
         sync.append(time.perf_counter() - t0)
@@ -49,6 +50,7 @@ def _time_fwd(fwd, x, window=16):
         pipelined = min(pipelined, (time.perf_counter() - t0) / window)
     return {
         "sync_p50_ms": float(np.percentile(sync, 50) * 1e3),
+        "sync_p99_ms": float(np.percentile(sync, 99) * 1e3),
         "pipelined_ms": pipelined * 1e3,
     }
 
@@ -56,7 +58,10 @@ def _time_fwd(fwd, x, window=16):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="transunet")
-    ap.add_argument("--batches", default="1,8,128")
+    ap.add_argument("--batches", default="1,8,64,128")
+    ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
+                    help="compute dtype; int8-weight variant runs only "
+                         "under bf16 (the serving default)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +74,8 @@ def main():
     from ultrasound_modeling_tpu.train import optim, step as step_mod
 
     cfg = default_config(args.model)
-    common.set_compute_dtype("bfloat16")
+    common.set_compute_dtype(
+        "bfloat16" if args.dtype == "bf16" else "float32")
     model = build_model(cfg.model)
     h, w = cfg.model.img_size
     c = cfg.model.in_channels
@@ -79,10 +85,9 @@ def main():
         jax.random.PRNGKey(0))
 
     fwd_full = step_mod.make_forward(model)
-    variants = {
-        "bf16": lambda x: fwd_full(state, x),
-        "bf16_int8w": make_quantized_forward(model, state),
-    }
+    variants = {args.dtype: lambda x: fwd_full(state, x)}
+    if args.dtype == "bf16":
+        variants["bf16_int8w"] = make_quantized_forward(model, state)
     rng = np.random.default_rng(0)
     for b in (int(v) for v in args.batches.split(",")):
         x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
@@ -93,6 +98,7 @@ def main():
                 "pipelined_ms_per_batch": round(stats["pipelined_ms"], 4),
                 "pipelined_fps": round(b / (stats["pipelined_ms"] / 1e3), 1),
                 "sync_p50_ms": round(stats["sync_p50_ms"], 3),
+                "sync_p99_ms": round(stats["sync_p99_ms"], 3),
             }), flush=True)
 
 
