@@ -50,6 +50,12 @@ def main():
                     help="single-frame requests per client")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--window-ms", type=float, default=2.0)
+    ap.add_argument("--direct", action="store_true",
+                    help="clients call DynamicBatcher.predict directly "
+                         "(no HTTP, no npy serialization) — isolates the "
+                         "transport cost from batcher+device throughput; "
+                         "on this 1-core box the HTTP rows are bound by "
+                         "the colocated client threads, not the server")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +92,7 @@ def main():
 
     rng = np.random.default_rng(0)
     frame = rng.normal(size=(h, w, c)).astype(np.float32)
+    frame_b = frame[None]  # batcher.predict takes [n,H,W,C]
 
     for n_clients in (int(v) for v in args.clients.split(",")):
         b0 = server.batcher.stats()
@@ -95,7 +102,10 @@ def main():
         def client():
             for _ in range(args.frames):
                 t0 = time.perf_counter()
-                _post_npy(url, frame)
+                if args.direct:
+                    server.batcher.predict(frame_b, timeout=300)
+                else:
+                    _post_npy(url, frame)
                 dt = time.perf_counter() - t0
                 with lat_lock:
                     latencies.append(dt)
@@ -112,6 +122,8 @@ def main():
         total = n_clients * args.frames
         batches = b1["device_batches"] - b0["device_batches"]
         print(json.dumps({
+            "transport": "direct" if args.direct else "http",
+            "window_ms": args.window_ms,
             "model": args.model, "clients": n_clients,
             "frames": total,
             "fps": round(total / wall, 1),

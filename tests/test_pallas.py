@@ -157,6 +157,46 @@ def test_group_flat_norm_bf16_error_below_output_quantum(rng):
     assert float(jnp.abs(got - want).max()) <= 1.5 * quantum
 
 
+def test_group_flat_norm_folded_act_matches_reference(rng):
+    """act='leaky' folds the stage's LeakyReLU into the kernel sweep; must
+    equal activation-after-norm exactly (same math, fused)."""
+    n, g, c = 37, 9, 10
+    f = g * c
+    y = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    got = pk.group_flat_norm(y, s, b, c, 1e-3, interpret=True,
+                             act="leaky", act_alpha=0.3)
+    pre = _gfn_ref(y, s, b, c, 1e-3)
+    want = jnp.where(pre >= 0, pre, 0.3 * pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_group_flat_norm_folded_act_grads_match_reference(rng):
+    """The custom VJP chains through the folded LeakyReLU (recomputed
+    pre-activation sign mask) for dy, dscale AND dbias."""
+    n, g, c = 37, 3, 20
+    f = g * c
+    y = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+
+    def loss_k(y, s, b):
+        return jnp.sum(jnp.sin(pk.group_flat_norm(
+            y, s, b, c, 1e-3, interpret=True, act="leaky", act_alpha=0.3)))
+
+    def loss_r(y, s, b):
+        pre = _gfn_ref(y, s, b, c, 1e-3)
+        return jnp.sum(jnp.sin(jnp.where(pre >= 0, pre, 0.3 * pre)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(y, s, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(y, s, b)
+    for name, a, bb in zip(["dy", "dscale", "dbias"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_group_flat_norm_4d_and_model_path(rng):
     """The model calls through ResidualS._flat_norm on [B,H,W,F]; pin the
     pallas lowering against the einsum/XLA lowering of the same module."""

@@ -152,6 +152,29 @@ def test_convert_and_merge(tf_ckpt, tmp_path):
     assert missing == []
 
 
+def test_fetch_pretrained_offline_gating(tmp_path, monkeypatch):
+    """fetch_pretrained mirrors the reference URL scheme (reference:
+    SwinTransformer.py:469-476) and fails with an actionable message when
+    the box has no network (it must NOT leave partial files behind)."""
+    import urllib.request
+
+    def _no_net(*a, **k):
+        raise OSError("network unreachable")
+
+    monkeypatch.setattr(urllib.request, "urlopen", _no_net)
+    with pytest.raises(RuntimeError, match="swin_tiny_224.tgz"):
+        sc.fetch_pretrained("swin_tiny_224", cache_dir=str(tmp_path))
+    assert list(tmp_path.rglob("*.part")) == []
+    with pytest.raises(KeyError):
+        sc.fetch_pretrained("swin_nonexistent", cache_dir=str(tmp_path))
+    # cached extraction short-circuits without touching the network
+    d = tmp_path / "swin_tiny_224"
+    d.mkdir()
+    (d / "swin_tiny_224.ckpt.index").write_bytes(b"")
+    got = sc.fetch_pretrained("swin_tiny_224", cache_dir=str(tmp_path))
+    assert got == str(d / "swin_tiny_224.ckpt")
+
+
 def test_load_pretrained_swin_one_call(tf_ckpt):
     model, params = _flax_params()
     merged, loaded, missing = sc.load_pretrained_swin(params, tf_ckpt,

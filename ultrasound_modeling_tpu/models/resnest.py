@@ -29,14 +29,16 @@ convs XLA can tile as grouped matmuls (runtime).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ultrasound_modeling_tpu.models.common import (
-    KERAS_BN_EPS, KERAS_BN_MOMENTUM, KERAS_LN_EPS, Norm, activation,
-    avg_pool2, compute_dtype, conv, conv_transpose, he_normal)
+    KERAS_BN_EPS, KERAS_BN_MOMENTUM, KERAS_LN_EPS, LEAKY_ALPHA, Norm,
+    activation, avg_pool2, compute_dtype, conv, conv_transpose, he_normal)
 
 # per-branch norm lowering inside the fused split-attention stage.  Train
 # and eval tracings are gated separately and have OPPOSITE winners (both
@@ -228,11 +230,16 @@ class ResidualS(nn.Module):
         out = out * scale + bias
         return out.astype(y.dtype)
 
-    def _flat_norm(self, y, name: str, shape, train: bool):
+    def _flat_norm(self, y, name: str, shape, train: bool,
+                   act: Optional[str] = None):
         """Per-branch norm on the FLAT channel axis of ``y [B,H,W,G*C]``
         (param ``shape`` e.g. ``(K, R, C)`` factors the channels into
         ``G = K*R`` groups of ``C``), numerically equal to ``_group_norm``
-        on the grouped view.
+        on the grouped view, followed by ``act`` (the stage always activates
+        right after the branch norm; taking it as an argument lets the
+        Pallas lowering fold it into the kernel's single sweep — standalone
+        it is a full HBM read+write pass XLA cannot fuse into the opaque
+        kernel call).
 
         Motivation (profiled on v5e, flagship fwd batch 256): the grouped
         6-D view [B,H,W,K,R,C] with C of 3-30 forces XLA into padded
@@ -241,6 +248,7 @@ class ResidualS(nn.Module):
         constant block-averaging matrix on the MXU (``y @ M``, f32
         accumulation), so every elementwise op stays on the flat tiled
         layout and fuses into the neighbouring convs."""
+        act_fn = activation(act) if act else (lambda v: v)
         c = shape[-1]
         f = y.shape[-1]
         scale = self.param(f"{name}_scale", nn.initializers.ones, shape)
@@ -259,7 +267,11 @@ class ResidualS(nn.Module):
                 # (benchmarks/evalnorm_ab.py, 44.6 vs 52.6 ms at b256).
                 from ultrasound_modeling_tpu.ops.pallas_kernels import (
                     group_flat_norm)
-                return group_flat_norm(y, sflat, bflat, c, KERAS_LN_EPS)
+                if act == "leaky":
+                    return group_flat_norm(y, sflat, bflat, c, KERAS_LN_EPS,
+                                           act="leaky", act_alpha=LEAKY_ALPHA)
+                return act_fn(
+                    group_flat_norm(y, sflat, bflat, c, KERAS_LN_EPS))
             if y.dtype == jnp.bfloat16:
                 # bf16 path: the Pallas kernel's precision scheme, in XLA.
                 # Group SUMS ride a 0/1 block-diagonal selection matrix —
@@ -283,7 +295,7 @@ class ResidualS(nn.Module):
                 var = jnp.einsum("bhwf,fg->bhwg", zq, msel,
                                  preferred_element_type=jnp.float32) * inv
                 out = zc * lax.rsqrt(var + KERAS_LN_EPS) * sflat + bflat
-                return out.astype(y.dtype)
+                return act_fn(out.astype(y.dtype))
             avg = jnp.kron(jnp.eye(f // c, dtype=y.dtype),
                            jnp.full((c, c), 1.0 / c, y.dtype))
             # HIGHEST: TPU matmuls default to low-precision multiplies,
@@ -298,7 +310,7 @@ class ResidualS(nn.Module):
             var = jnp.maximum(s2 - mu * mu, 0.0)
             yf = y.astype(jnp.float32)
             out = (yf - mu) * lax.rsqrt(var + KERAS_LN_EPS) * sflat + bflat
-            return out.astype(y.dtype)
+            return act_fn(out.astype(y.dtype))
         # batch: per-(k,r,c) stats ARE per-flat-channel stats — one plain
         # channel reduce, no grouped view needed at all.
         ra_mean = self.variable("batch_stats", f"{name}_mean",
@@ -318,7 +330,8 @@ class ResidualS(nn.Module):
             mean = ra_mean.value.reshape(-1)
             var = ra_var.value.reshape(-1)
         a = lax.rsqrt(var + KERAS_BN_EPS) * sflat
-        return (y.astype(jnp.float32) * a + (bflat - mean * a)).astype(y.dtype)
+        return act_fn(
+            (y.astype(jnp.float32) * a + (bflat - mean * a)).astype(y.dtype))
 
     def _fused(self, x, train: bool):
         """Block-diagonal dense restructuring of the K*R branch tree.
@@ -360,7 +373,8 @@ class ResidualS(nn.Module):
         y = lax.conv_general_dilated(
             x.astype(dt), k1.astype(dt), (1, 1), "SAME",
             dimension_numbers=dn) + b1.reshape(-1).astype(dt)
-        y = act(self._flat_norm(y, "branch1_norm", (k_, r_, c11), train))
+        y = self._flat_norm(y, "branch1_norm", (k_, r_, c11), train,
+                            act=self.act)
 
         # kxk branch convs == one block-diagonal dense conv.
         k2 = jnp.zeros((self.ksize, self.ksize, kr * c11, kr * ckk), w2.dtype)
@@ -371,7 +385,8 @@ class ResidualS(nn.Module):
         y = lax.conv_general_dilated(
             y, k2.astype(dt), (1, 1), "SAME",
             dimension_numbers=dn) + b2.reshape(-1).astype(dt)
-        y = act(self._flat_norm(y, "branch2_norm", (k_, r_, ckk), train))
+        y = self._flat_norm(y, "branch2_norm", (k_, r_, ckk), train,
+                            act=self.act)
         # y: [B, H, W, K*R*ckk], flat channel order (k, r, c).
 
         # Split attention (reference: TBI_ResNest.py:175-207), all K paths at

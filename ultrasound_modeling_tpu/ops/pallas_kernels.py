@@ -477,19 +477,25 @@ def _gfn_grp(x, msel_ref, inv: float, hi: bool):
 
 
 def _gfn_fwd_kernel(y_ref, s_ref, b_ref, msel_ref, out_ref, *, eps: float,
-                    inv: float, hi: bool):
+                    inv: float, hi: bool, alpha: Optional[float]):
     y = y_ref[:].astype(jnp.float32)                     # [rows, F]
     mub = _gfn_grp(y, msel_ref, inv, hi)
     zc = y - mub
     varb = _gfn_grp(zc * zc, msel_ref, inv, hi)
     rstdb = jax.lax.rsqrt(varb + eps)                    # [rows, F]
     out = zc * rstdb * s_ref[:] + b_ref[:]
+    if alpha is not None:
+        # Folded LeakyReLU: the activation that always follows this norm in
+        # the split-attention stage.  Standalone it is a full read+write HBM
+        # pass (XLA cannot fuse an elementwise op INTO the opaque kernel
+        # call); folded here it is free VPU work on the VMEM-resident tile.
+        out = jnp.where(out >= 0.0, out, alpha * out)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _gfn_bwd_kernel(y_ref, g_ref, s_ref, msel_ref,
+def _gfn_bwd_kernel(y_ref, g_ref, s_ref, b_ref, msel_ref,
                     dy_ref, ds_ref, db_ref, *, eps: float, inv: float,
-                    hi: bool, n_rows: int, rows: int):
+                    hi: bool, n_rows: int, rows: int, alpha: Optional[float]):
     i = pl.program_id(0)
     y = y_ref[:].astype(jnp.float32)                     # [rows, F]
     g = g_ref[:].astype(jnp.float32)
@@ -504,6 +510,12 @@ def _gfn_bwd_kernel(y_ref, g_ref, s_ref, msel_ref,
     varb = _gfn_grp(zc * zc, msel_ref, inv, hi)
     rstdb = jax.lax.rsqrt(varb + eps)
     xhat = zc * rstdb                                    # [rows, F]
+    if alpha is not None:
+        # Chain through the folded LeakyReLU: the pre-activation is cheap to
+        # recompute from the already-recomputed stats, and dL/dpre = g * act'
+        # feeds the unchanged LN three-term gradient below.
+        pre = xhat * s_ref[:] + b_ref[:]
+        g = g * jnp.where(pre >= 0.0, 1.0, alpha)
 
     sg = g * s_ref[:]
     t1 = _gfn_grp(sg, msel_ref, inv, hi)
@@ -542,14 +554,14 @@ def _gfn_rows(n: int, f: int) -> int:
 
 
 def _gfn_fwd_pallas(static, y2, scale, bias):
-    gsize, eps, interpret = static
+    gsize, eps, interpret, alpha = static
     n, f = y2.shape
     rows = _gfn_rows(n, f)
     (mavg,) = _gfn_matrices(f, gsize)
     grid = (pl.cdiv(n, rows),)
     return pl.pallas_call(
         functools.partial(_gfn_fwd_kernel, eps=eps, inv=1.0 / gsize,
-                          hi=y2.dtype != jnp.bfloat16),
+                          hi=y2.dtype != jnp.bfloat16, alpha=alpha),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, f), lambda i: (i, 0),
@@ -567,15 +579,15 @@ def _gfn_fwd_pallas(static, y2, scale, bias):
     )(y2, scale.astype(jnp.float32), bias.astype(jnp.float32), mavg)
 
 
-def _gfn_bwd_pallas(static, y2, scale, g):
-    gsize, eps, interpret = static
+def _gfn_bwd_pallas(static, y2, scale, bias, g):
+    gsize, eps, interpret, alpha = static
     n, f = y2.shape
     rows = _gfn_rows(n, f)
     (mavg,) = _gfn_matrices(f, gsize)
     grid = (pl.cdiv(n, rows),)
     kernel = functools.partial(_gfn_bwd_kernel, eps=eps, inv=1.0 / gsize,
                                hi=y2.dtype != jnp.bfloat16,
-                               n_rows=n, rows=rows)
+                               n_rows=n, rows=rows, alpha=alpha)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -584,6 +596,7 @@ def _gfn_bwd_pallas(static, y2, scale, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, f), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, f), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -601,7 +614,7 @@ def _gfn_bwd_pallas(static, y2, scale, g):
         ],
         interpret=interpret,
         compiler_params=None if interpret else _GFN_VMEM,
-    )(y2, g, scale.astype(jnp.float32), mavg)
+    )(y2, g, scale.astype(jnp.float32), bias.astype(jnp.float32), mavg)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -610,12 +623,12 @@ def _gfn_core(static, y2, scale, bias):
 
 
 def _gfn_core_fwd(static, y2, scale, bias):
-    return _gfn_fwd_pallas(static, y2, scale, bias), (y2, scale)
+    return _gfn_fwd_pallas(static, y2, scale, bias), (y2, scale, bias)
 
 
 def _gfn_core_bwd(static, res, g):
-    y2, scale = res
-    dy, dscale, dbias = _gfn_bwd_pallas(static, y2, scale, g)
+    y2, scale, bias = res
+    dy, dscale, dbias = _gfn_bwd_pallas(static, y2, scale, bias, g)
     return dy, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 
@@ -624,20 +637,29 @@ _gfn_core.defvjp(_gfn_core_fwd, _gfn_core_bwd)
 
 def group_flat_norm(y: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                     gsize: int, eps: float,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
+                    interpret: Optional[bool] = None,
+                    act: Optional[str] = None,
+                    act_alpha: float = 0.3) -> jnp.ndarray:
     """Per-group channel LayerNorm over a flat channel axis.
 
     ``y [..., F]`` with ``F = G * gsize``: each contiguous ``gsize`` slice is
     normalized to its own mean/variance (computed over that slice, per
     leading index), then scaled/shifted by the per-channel ``scale``/``bias``
-    (flattened to ``[F]``).  Differentiable (custom VJP; both passes are
-    single-sweep Pallas kernels on TPU, interpret mode elsewhere)."""
+    (flattened to ``[F]``).  ``act='leaky'`` additionally applies
+    LeakyReLU(``act_alpha``) inside the kernel — the norm is always followed
+    by it in the split-attention stage, and standalone the activation costs
+    a full HBM read+write pass that cannot fuse into the opaque kernel call.
+    Differentiable (custom VJP; both passes are single-sweep Pallas kernels
+    on TPU, interpret mode elsewhere)."""
+    if act not in (None, "leaky"):
+        raise ValueError(f"unsupported folded activation {act!r}")
     interpret = (not _on_tpu()) if interpret is None else interpret
     f = y.shape[-1]
     if f % gsize:
         raise ValueError(f"channels {f} not divisible by group size {gsize}")
     y2 = y.reshape(-1, f)
-    static = (int(gsize), float(eps), bool(interpret))
+    alpha = float(act_alpha) if act == "leaky" else None
+    static = (int(gsize), float(eps), bool(interpret), alpha)
     out = _gfn_core(static, y2, scale.reshape(-1), bias.reshape(-1))
     return out.reshape(y.shape)
 

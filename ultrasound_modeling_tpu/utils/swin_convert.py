@@ -36,10 +36,17 @@ Swin is a segmentation backbone) are skipped.
 
 from __future__ import annotations
 
+import os
 import re
+import tarfile
 from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+# Release URL scheme the reference fetches checkpoints from
+# (reference: SwinTransformer.py:469-471).
+PRETRAINED_URL = ("https://github.com/rishigami/Swin-Transformer-TF/releases"
+                  "/download/v0.1-tf-swin-weights/{model_name}.tgz")
 
 # Model zoo table mirrored from the reference release names
 # (reference: SwinTransformer.py:8-21 CFGS).
@@ -71,6 +78,57 @@ _BLOCK_RE = re.compile(
     r"^basic_layers/(\d+)/blocks/(\d+)/(.+)$")
 _DOWNSAMPLE_RE = re.compile(
     r"^basic_layers/(\d+)/downsample/(reduction|norm)/(\w+)$")
+
+
+def fetch_pretrained(model_name: str, cache_dir: Optional[str] = None,
+                     timeout: float = 60.0) -> str:
+    """Download + untar a released pretrained checkpoint; return the
+    ``.ckpt`` prefix path ``load_pretrained_swin`` consumes.
+
+    Mirrors the reference's ``tf.keras.utils.get_file(..., untar=True)`` +
+    ``'{dir}/{model_name}.ckpt'`` resolution (reference:
+    SwinTransformer.py:469-478) without importing TF.  Gated on network
+    availability: offline boxes get a RuntimeError naming the URL so the
+    tarball can be provisioned manually into ``cache_dir``.
+    """
+    if model_name not in PRETRAINED_CFGS:
+        raise KeyError(f"unknown pretrained model {model_name!r}; "
+                       f"have {sorted(PRETRAINED_CFGS)}")
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "ultrasound_modeling_tpu",
+        "pretrained")
+    os.makedirs(cache_dir, exist_ok=True)
+    ckpt_prefix = os.path.join(cache_dir, model_name, f"{model_name}.ckpt")
+    if os.path.exists(ckpt_prefix + ".index"):
+        return ckpt_prefix
+    url = PRETRAINED_URL.format(model_name=model_name)
+    tgz = os.path.join(cache_dir, f"{model_name}.tgz")
+    if not os.path.exists(tgz):
+        import urllib.error
+        import urllib.request
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp, \
+                    open(tgz + ".part", "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.replace(tgz + ".part", tgz)
+        except (urllib.error.URLError, OSError) as e:
+            if os.path.exists(tgz + ".part"):
+                os.remove(tgz + ".part")
+            raise RuntimeError(
+                f"cannot fetch pretrained Swin checkpoint (offline?): {url} "
+                f"({e}); download it elsewhere and place the extracted "
+                f"'{model_name}/' directory under {cache_dir}") from e
+    with tarfile.open(tgz) as tar:
+        tar.extractall(cache_dir, filter="data")
+    if not os.path.exists(ckpt_prefix + ".index"):
+        raise RuntimeError(
+            f"{tgz} extracted but {ckpt_prefix}.index not found — release "
+            "layout changed?")
+    return ckpt_prefix
 
 
 def _map_leaf(tail: str) -> Optional[str]:
