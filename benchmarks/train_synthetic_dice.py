@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--class-factor", default=None,
                     help="comma-separated per-class loss scale override "
                          "(factor-family losses), e.g. '0.05,0.03,0.92'")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override the train init/shuffle seed (run-to-run "
+                         "jitter checks, e.g. bf16-vs-f32 A/B)")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -67,6 +70,8 @@ def main():
     if args.class_factor:
         train_cfg = dc.replace(train_cfg, class_factor=tuple(
             float(v) for v in args.class_factor.split(",")))
+    if args.seed is not None:
+        train_cfg = dc.replace(train_cfg, seed=args.seed)
     if args.vit_learned_pos:
         model_cfg = dc.replace(model_cfg, vit_learned_pos=True)
     if args.vit_conv_stem:
@@ -83,7 +88,8 @@ def main():
     final = trainer.evaluate(epoch=args.epochs)
     out = {
         "model": args.model, "epochs": args.epochs,
-        "loss": cfg.train.loss,
+        "loss": cfg.train.loss, "dtype": "bf16" if args.bf16 else "f32",
+        "seed": cfg.train.seed,
         **({"class_factor": list(cfg.train.class_factor)}
            if args.class_factor else {}),
         "train_minutes": round((time.time() - t0) / 60, 2),
