@@ -78,11 +78,16 @@ def bench_gather(path, n_rows, n_gather=2048):
     mb = n_gather * ROW_BYTES / 1e6
     for name, kw in (("native", {}), ("mmap_fallback",
                                       {"force_fallback": True})):
+        # Evict BEFORE constructing the shard: the mmap fallback maps the
+        # file at construction, and POSIX_FADV_DONTNEED does not reliably
+        # drop pages that are already mapped (the first run of this harness
+        # recorded a 1960 MB/s "cold" mmap leg on a disk that does 76 MB/s
+        # random reads — the evict had silently failed).
+        evict(path)
         shard = native_loader.NpyShard(path, **kw)
         if name == "native" and not shard.native:
             out["native_available"] = False
             continue
-        evict(path)
         cold = run(shard)
         warm = run(shard)          # same rows, now cached
         out[f"{name}_cold_s"] = round(cold, 3)

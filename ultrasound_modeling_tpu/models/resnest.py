@@ -44,10 +44,11 @@ from ultrasound_modeling_tpu.models.common import (
 # and eval tracings are gated separately and have OPPOSITE winners (both
 # re-verified by single-process interleaved A/B with scalar-pull sync):
 # train 'auto' = Pallas fused kernel on TPU (einsum backward costs ~5 ms/
-# step); eval 'xla' = the einsum lowering (44.6 vs 52.6 ms full forward at
-# batch 256, benchmarks/evalnorm_ab.py — XLA fuses the eval normalize into
-# the conv epilogues, which the opaque kernel call forbids, and that buys
-# more than the kernel's single-sweep stats save).
+# step); eval 'xla' = the einsum lowering (42.1 vs 54.8 ms full forward at
+# batch 256, benchmarks/evalnorm_ab.py, round-3 clean pass incl. the
+# folded-LeakyReLU kernel — XLA fuses the eval normalize into the conv
+# epilogues, which the opaque kernel call forbids, and that buys more
+# than the kernel's single-sweep stats save).
 _PALLAS_NORM = "auto"
 _PALLAS_NORM_EVAL = "xla"
 
@@ -263,8 +264,9 @@ class ResidualS(nn.Module):
                 # the einsum: its stats do materialize a full-size f32 y*y
                 # operand (472 MB at batch 256 on stage 1 — device trace),
                 # but XLA fuses the normalize into the conv epilogues, and
-                # the fused forward still beats the kernel by 18% end to end
-                # (benchmarks/evalnorm_ab.py, 44.6 vs 52.6 ms at b256).
+                # the fused forward still beats the kernel by 30% end to end
+                # (benchmarks/evalnorm_ab.py, 42.1 vs 54.8 ms at b256,
+                # round-3 clean pass).
                 from ultrasound_modeling_tpu.ops.pallas_kernels import (
                     group_flat_norm)
                 if act == "leaky":
