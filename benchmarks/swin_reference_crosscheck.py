@@ -122,6 +122,74 @@ def tf_weights_to_flax(m) -> dict:
     return out
 
 
+def write_keras2_checkpoint(m, tf, path):
+    """Write ``m``'s weights in the TF-2.4-Keras attribute-path object-graph
+    layout the released Swin checkpoints carry
+    (`basic_layers/0/blocks/0/attn/qkv/kernel/.ATTRIBUTES/VARIABLE_VALUE`).
+
+    Keras 3 no longer registers plain python-list attributes
+    (``self.basic_layers = []``, ``self.blocks = []`` —
+    SwinTransformer.py:303,399) as ``tf.train.Checkpoint`` dependencies, so
+    ``tf.train.Checkpoint(root=m).write`` silently drops every block (the
+    first fixture run recorded exactly 6 stored weights: patch_embed + the
+    final norm, the only direct-attribute layers).  The original release
+    was saved by TF-2.4 Keras, where list tracking produced the indexed
+    attribute paths — reproduce that object graph explicitly with
+    AutoTrackable nodes.  Non-parameter buffers the real artifact also
+    stores (relative_position_index, attn_mask) are included so the
+    converter's skip patterns are exercised."""
+    AT = tf.__internal__.tracking.AutoTrackable
+
+    def node(**kw):
+        n = AT()
+        for k, v in kw.items():
+            setattr(n, k, v)
+        return n
+
+    def var(t, trainable=True):
+        return tf.Variable(tf.convert_to_tensor(t), trainable=trainable)
+
+    def dense(layer, bias=True):
+        kw = {"kernel": var(layer.kernel)}
+        if bias:
+            kw["bias"] = var(layer.bias)
+        return node(**kw)
+
+    def norm(layer):
+        return node(gamma=var(layer.gamma), beta=var(layer.beta))
+
+    root = AT()
+    root.patch_embed = node(proj=dense(m.patch_embed.proj),
+                            norm=norm(m.patch_embed.norm))
+    root.norm = norm(m.norm)
+    basic_layers = []
+    for layer in m.basic_layers:
+        ln = AT()
+        blocks = []
+        for blk in layer.blocks:
+            attn = node(
+                qkv=dense(blk.attn.qkv), proj=dense(blk.attn.proj),
+                relative_position_bias_table=var(
+                    blk.attn.relative_position_bias_table),
+                relative_position_index=var(
+                    blk.attn.relative_position_index, trainable=False))
+            bn = node(norm1=norm(blk.norm1), norm2=norm(blk.norm2),
+                      attn=attn,
+                      mlp=node(fc1=dense(blk.mlp.fc1),
+                               fc2=dense(blk.mlp.fc2)))
+            if getattr(blk, "attn_mask", None) is not None:
+                bn.attn_mask = var(blk.attn_mask, trainable=False)
+            blocks.append(bn)
+        ln.blocks = blocks  # AutoTrackable wraps lists -> blocks/0, blocks/1
+        if layer.downsample is not None:
+            ln.downsample = node(
+                reduction=dense(layer.downsample.reduction, bias=False),
+                norm=norm(layer.downsample.norm))
+        basic_layers.append(ln)
+    root.basic_layers = basic_layers
+    return tf.train.Checkpoint(root=root).write(path)
+
+
 def main():
     rng = np.random.default_rng(0)
     # Random-init bias tables are zero and attention is unsaturated at these
@@ -170,14 +238,17 @@ def main():
     # Converter leg (VERDICT r2 missing #4): write a REAL TF-format
     # checkpoint of the reference model object graph — the same on-disk
     # layout the released rishigami tarballs carry (reference:
-    # SwinTransformer.py:461-486 loads them with net.load_weights) — and
-    # drive it through utils/swin_convert + a live SwinBackbone forward.
+    # SwinTransformer.py:461-486 loads them with net.load_weights; saved
+    # by TF-2.4 Keras, whose list tracking `write_keras2_checkpoint`
+    # reproduces — Keras 3's own tf.train.Checkpoint drops list-held
+    # blocks) — and drive it through utils/swin_convert + a live
+    # SwinBackbone forward.
     import tempfile
 
     from ultrasound_modeling_tpu.utils import swin_convert as sc
 
     with tempfile.TemporaryDirectory() as td:
-        ckpt = tf.train.Checkpoint(root=m).write(os.path.join(td, "ref.ckpt"))
+        ckpt = write_keras2_checkpoint(m, tf, os.path.join(td, "ref.ckpt"))
         conv_params, conv_loaded, conv_missing = sc.load_pretrained_swin(
             variables["params"], ckpt, prefix="")
         conv_final, _ = model.apply({"params": conv_params},

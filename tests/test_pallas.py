@@ -256,6 +256,42 @@ def test_transformer_block_fused_matches_composed(rng):
     assert np.abs(got - want).max() <= 4 * quantum
 
 
+def test_transformer_block_fused_per_elem_matches_dense(rng):
+    """per_elem=True (static per-batch-element attention loop, no cross-
+    element mask) must equal the masked-dense flavor bit-for-bit in
+    interpret mode — same math, different blocking."""
+    from ultrasound_modeling_tpu.models import common
+    from ultrasound_modeling_tpu.models.transunet import TRANSFORMER_LN_EPS
+
+    c, heads, mlp_dim = 64, 4, 128
+    common.set_compute_dtype("bfloat16")
+    try:
+        blk, v = _damped_block_params(jax.random.PRNGKey(2), c, heads,
+                                      mlp_dim)
+        x = jnp.asarray(rng.normal(size=(6, 10, c)), jnp.float32)
+        want = np.asarray(blk.apply(v, x, False), np.float32)
+        kw = dict(scale=1.0 / np.sqrt(heads), eps=TRANSFORMER_LN_EPS,
+                  interpret=True)
+        dense = np.asarray(pk.transformer_block_fused(
+            x, v["params"], heads, batch_per_step=2, per_elem=False, **kw),
+            np.float32)
+        pe = np.asarray(pk.transformer_block_fused(
+            x, v["params"], heads, batch_per_step=3, per_elem=True, **kw),
+            np.float32)
+        pe_full = np.asarray(pk.transformer_block_fused(
+            x, v["params"], heads, batch_per_step=6, per_elem=True, **kw),
+            np.float32)
+    finally:
+        common.set_compute_dtype(None)
+    quantum = np.abs(want).max() / 256.0
+    assert np.abs(dense - want).max() <= 4 * quantum
+    # per-element vs composed: same bound as dense
+    assert np.abs(pe - want).max() <= 4 * quantum
+    assert np.abs(pe_full - want).max() <= 4 * quantum
+    # and near-identical to the dense flavor (same math, same dtypes)
+    assert np.abs(pe_full - dense).max() <= quantum
+
+
 def test_transformer_stack_fused_encoder_path(rng):
     """Encoder(attn_impl='pallas') at eval routes through the fused stack
     (incl. the folded final encoder_norm); pin against the scanned XLA

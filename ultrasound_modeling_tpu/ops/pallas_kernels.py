@@ -25,6 +25,7 @@ All kernels run in interpret mode off-TPU so the same tests run on CPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -277,13 +278,26 @@ def _tblock_kernel(x_ref, ln1_s_ref, ln1_b_ref, qkv_w_ref, qkv_b_ref,
                    proj_w_ref, proj_b_ref, ln2_s_ref, ln2_b_ref,
                    fc1_w_ref, fc1_b_ref, fc2_w_ref, fc2_b_ref, offmask_ref,
                    fin_s_ref, fin_b_ref, out_ref, *, num_heads: int,
-                   scale: float, eps: float, c: int, final_ln: bool):
+                   scale: float, eps: float, c: int, final_ln: bool,
+                   seq: int, per_elem: bool):
     """One grid step: [T*S, C] rows of T batch elements through one
-    transformer block.  ``offmask_ref`` is -1e9 off the T diagonal [S,S]
-    blocks (batch elements must not attend to each other).  ``final_ln``
-    folds the stack's trailing encoder_norm into the last layer's kernel
-    (as a separate op its input arrives in the kernel's output layout and
-    XLA pays a relayout copy — 2.7 ms at batch 256)."""
+    transformer block.  Attention locality (batch elements must not attend
+    to each other) comes in two flavors:
+
+    * ``per_elem=False``: ONE dense [T*S, T*S] score matmul per head with
+      ``offmask_ref`` (-1e9 off the T diagonal [S,S] blocks) masking the
+      cross-element blocks.  The masked blocks are wasted MXU work that
+      grows ~T^2, which caps the useful tile size at small T.
+    * ``per_elem=True``: a static loop over the T elements with [S, S]
+      scores each — no waste, so T can grow to amortize the per-step
+      weight streaming (each grid step re-reads the layer's ~14 MB of
+      weights from HBM; at T=4 that is ~7.2 GB for the flagship's 8-layer
+      stack at batch 256 — the dominant cost, matching the measured ~10 ms
+      against a ~0.6 ms activation-bytes floor).
+
+    ``final_ln`` folds the stack's trailing encoder_norm into the last
+    layer's kernel (as a separate op its input arrives in the kernel's
+    output layout and XLA pays a relayout copy — 2.7 ms at batch 256)."""
     xf = x_ref[:].astype(jnp.float32)                    # [rows, C]
 
     def _ln(v, s_ref, b_ref):
@@ -301,12 +315,23 @@ def _tblock_kernel(x_ref, ln1_s_ref, ln1_b_ref, qkv_w_ref, qkv_b_ref,
         q = qkv[:, hh * d:(hh + 1) * d] * scale
         k = qkv[:, c + hh * d:c + (hh + 1) * d]
         v = qkv[:, 2 * c + hh * d:2 * c + (hh + 1) * d]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        s = s + offmask_ref[:]
-        p = jax.nn.softmax(s, axis=-1)
-        head_outs.append(jnp.dot(p.astype(jnp.bfloat16),
-                                 v.astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32))
+        if per_elem:
+            elems = []
+            for t in range(0, q.shape[0], seq):
+                s = jnp.dot(q[t:t + seq], k[t:t + seq].T,
+                            preferred_element_type=jnp.float32)
+                p = jax.nn.softmax(s, axis=-1)
+                elems.append(jnp.dot(p.astype(jnp.bfloat16),
+                                     v[t:t + seq].astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32))
+            head_outs.append(jnp.concatenate(elems, axis=0))
+        else:
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            s = s + offmask_ref[:]
+            p = jax.nn.softmax(s, axis=-1)
+            head_outs.append(jnp.dot(p.astype(jnp.bfloat16),
+                                     v.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32))
     attn = jnp.concatenate(head_outs, axis=-1).astype(jnp.bfloat16)
     attn = jnp.dot(attn, proj_w_ref[:],
                    preferred_element_type=jnp.float32) + proj_b_ref[:]
@@ -331,7 +356,8 @@ def transformer_block_fused(x: jnp.ndarray, p: dict, num_heads: int,
                             scale: float, eps: float,
                             batch_per_step: int = 4,
                             final_ln: Optional[Tuple] = None,
-                            interpret: Optional[bool] = None) -> jnp.ndarray:
+                            interpret: Optional[bool] = None,
+                            per_elem: bool = False) -> jnp.ndarray:
     """One pre-LN transformer block, fused (inference).
 
     ``x [B, S, C]``; ``p`` holds the block's params under the flax names:
@@ -354,10 +380,15 @@ def transformer_block_fused(x: jnp.ndarray, p: dict, num_heads: int,
                              attn["value_kernel"]], axis=1).astype(bf)
     qkv_b = jnp.concatenate([attn["query_bias"], attn["key_bias"],
                              attn["value_bias"]]).astype(jnp.float32)
-    # -1e9 between different batch elements of the tile (block-diag locality)
-    offmask = jnp.asarray(
-        (1.0 - np.kron(np.eye(t, dtype=np.float32),
-                       np.ones((s, s), np.float32))) * -1e9)
+    if per_elem:
+        # per-element attention needs no mask; pass a dummy scalar-ish block
+        offmask = jnp.zeros((8, 128), jnp.float32)
+    else:
+        # -1e9 between different batch elements of the tile (block-diag
+        # locality)
+        offmask = jnp.asarray(
+            (1.0 - np.kron(np.eye(t, dtype=np.float32),
+                           np.ones((s, s), np.float32))) * -1e9)
 
     args = (
         x.reshape(b * s, c).astype(bf),
@@ -389,7 +420,8 @@ def transformer_block_fused(x: jnp.ndarray, p: dict, num_heads: int,
     out = pl.pallas_call(
         functools.partial(_tblock_kernel, num_heads=num_heads,
                           scale=float(scale), eps=float(eps), c=c,
-                          final_ln=final_ln is not None),
+                          final_ln=final_ln is not None, seq=s,
+                          per_elem=per_elem),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, c), lambda i: (i, 0),
@@ -400,7 +432,7 @@ def transformer_block_fused(x: jnp.ndarray, p: dict, num_heads: int,
             vspec((c,)), vspec((c,)),
             vspec((c, m)), vspec((m,)),
             vspec((m, c)), vspec((c,)),
-            vspec((rows, rows)),
+            vspec(tuple(offmask.shape)),
             vspec((c,)), vspec((c,)),
         ],
         out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
@@ -414,15 +446,26 @@ def transformer_block_fused(x: jnp.ndarray, p: dict, num_heads: int,
 
 def transformer_stack_fused(x: jnp.ndarray, stacked: dict, num_heads: int,
                             scale: float, eps: float,
-                            batch_per_step: int = 4,
+                            batch_per_step: Optional[int] = None,
                             final_ln: Optional[Tuple] = None,
-                            interpret: Optional[bool] = None) -> jnp.ndarray:
+                            interpret: Optional[bool] = None,
+                            per_elem: Optional[bool] = None) -> jnp.ndarray:
     """Apply a whole stack of transformer blocks (inference).
 
     ``stacked``: the nn.scan param tree — every leaf has a leading [L]
     layer axis (models/transunet.py Encoder 'blocks'/'block').
     ``final_ln``: optional (scale, bias) of the stack's trailing
-    encoder_norm, folded into the last layer's kernel."""
+    encoder_norm, folded into the last layer's kernel.
+    ``batch_per_step``/``per_elem``: tile size and attention flavor
+    (see _tblock_kernel; large tiles amortize per-step weight streaming
+    and need per_elem to avoid the masked-dense scheme's ~T^2 waste).
+    Defaults are chosen by measurement at the flagship shape
+    (benchmarks/stack_tile_sweep.py); env overrides ``UM_TPU_STACK_TILE``
+    / ``UM_TPU_STACK_PER_ELEM=0|1`` exist for the sweep harness."""
+    if batch_per_step is None:
+        batch_per_step = int(os.environ.get("UM_TPU_STACK_TILE", "4"))
+    if per_elem is None:
+        per_elem = os.environ.get("UM_TPU_STACK_PER_ELEM", "0") == "1"
     n_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
     for layer in range(n_layers):
         p = jax.tree_util.tree_map(lambda a: a[layer], stacked)
@@ -430,7 +473,7 @@ def transformer_stack_fused(x: jnp.ndarray, stacked: dict, num_heads: int,
         x = transformer_block_fused(x, p, num_heads, scale, eps,
                                     batch_per_step,
                                     final_ln=final_ln if last else None,
-                                    interpret=interpret)
+                                    interpret=interpret, per_elem=per_elem)
     return x
 
 
