@@ -62,8 +62,14 @@ def _bench_forward(model, x, n_warmup=3, n_iter=20):
     # program order, so fetching the last scalar bounds the whole window;
     # this is the serving-throughput number, free of the per-call host
     # round-trip that dominates the p50 latency above on this host link.
-    window = 8
-    outs = [fwd_sum(variables, x) for _ in range(2 * window)]  # warm pipeline
+    # Window size: the one scalar pull at the end of a window costs a full
+    # tunnel round-trip (measured null-kernel RTT p50 31.4 ms on this box,
+    # benchmarks/campaign_r3/latency.jsonl) which is AMORTIZED over the
+    # window — at window=8 that baked ~3.9 ms/batch of pure host-link
+    # overhead into the "device throughput" number.  window=64 makes the
+    # sync residue <0.5 ms/batch.
+    window = 64
+    outs = [fwd_sum(variables, x) for _ in range(16)]  # warm pipeline
     float(outs[-1])
     # Best of several windows: the remote-device tunnel adds multi-ms jitter
     # per dispatch, so a single window can read 10-20% slow; the minimum is
@@ -71,6 +77,8 @@ def _bench_forward(model, x, n_warmup=3, n_iter=20):
     # METHODOLOGY NOTE: best-of-5 was adopted late in round 1; rows in
     # benchmarks/results.json / BASELINE.md recorded before commit 16266fc
     # used a single window and read up to ~10-20% slower on this host link.
+    # Window 8 -> 64 in round 3; pre-round-3 pipelined rows carry the
+    # ~RTT/8 overhead.
     pipelined = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()

@@ -69,15 +69,18 @@ def bench_model(name, batch, bf16=True, train=False, n_iter=20):
     # Pipelined steady state: dispatch a window back-to-back, sync once.
     # Train steps chain through the state; inference chains in program
     # order on the device.  This strips the per-call host round-trip
-    # (~25 ms on this host link) that dominates p50 above.
-    window = 8
-    for _ in range(window):
+    # (measured null-kernel RTT p50 31.4 ms on this box) that dominates
+    # p50 above.  The window's ONE closing sync is amortized across it:
+    # window=8 baked ~RTT/8 ~= 3.9 ms/batch of host-link overhead into
+    # every row; window=64 (round 3) leaves <0.5 ms/batch.
+    window = 64
+    for _ in range(16):
         run()
     float(run())
-    # Best of 3 windows: the remote-device tunnel adds multi-ms jitter per
+    # Best of 5 windows: the remote-device tunnel adds multi-ms jitter per
     # dispatch; the minimum is the stable device-throughput estimate.
     pipelined = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(window - 1):
             run()

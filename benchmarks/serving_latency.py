@@ -24,7 +24,9 @@ import numpy as np
 from ultrasound_modeling_tpu.utils import jaxcache  # noqa: F401
 
 
-def _time_fwd(fwd, x, window=16):
+def _time_fwd(fwd, x, window=64):
+    # window=64: the one closing scalar pull costs a full tunnel RTT
+    # (~31.4 ms p50 null-kernel probe); amortized residue <0.5 ms/batch.
     import jax.numpy as jnp
     import jax
 
@@ -40,7 +42,7 @@ def _time_fwd(fwd, x, window=16):
         t0 = time.perf_counter()
         float(fwd_sum(x))
         sync.append(time.perf_counter() - t0)
-    outs = [fwd_sum(x) for _ in range(2 * window)]
+    outs = [fwd_sum(x) for _ in range(16)]
     float(outs[-1])
     pipelined = float("inf")
     for _ in range(5):
