@@ -150,8 +150,17 @@ def main():
     x = jnp.asarray(rng.normal(size=(b, 256, 80, 10)), jnp.float32)
 
     # --- full forward -------------------------------------------------------
-    model = TransUNet(attn_impl="auto")
+    # attn_impl must be resolved explicitly: TransUNet compares the literal
+    # string ('auto' would silently take the composed-XLA stack path — the
+    # bug that contaminated the first clean-pass full_forward row).
+    from ultrasound_modeling_tpu.models.registry import _resolve_impl
+    model = TransUNet(attn_impl=_resolve_impl("auto"))
     full = bench_module("full_forward", model, (x,))
+    # comparison row: the composed-XLA stack path (what 'xla' serves)
+    bench_module("full_forward_xla_stack", TransUNet(attn_impl="xla"), (x,),
+                 note="composed scan path; contrast with full_forward "
+                      "(fused Pallas stack) to price the stack kernel "
+                      "end-to-end")
 
     # --- ingest proxy: f32 NHWC(10ch) -> bf16 padded-lane layout ------------
     ingest = jax.jit(lambda a: jnp.sum(a.astype(jnp.bfloat16)

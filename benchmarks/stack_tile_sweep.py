@@ -110,7 +110,10 @@ def main():
             # full forward with the model's internal call steered by env
             os.environ["UM_TPU_STACK_TILE"] = str(t)
             os.environ["UM_TPU_STACK_PER_ELEM"] = "1" if pe else "0"
-            model = TransUNet(attn_impl="auto")
+            # 'pallas' literally: TransUNet string-compares attn_impl, so
+            # 'auto' would measure the composed-XLA path for every config
+            # (the bug behind the first sweep's flat full_forward column).
+            model = TransUNet(attn_impl="pallas")
             mv = jax.jit(model.init, static_argnums=(2,))(
                 {"params": key, "dropout": jax.random.PRNGKey(1)},
                 x_full, False)

@@ -55,3 +55,33 @@ def test_attention_param_layout_shared():
         jax.random.PRNGKey(0), x, False)
     assert (jax.tree_util.tree_structure(va)
             == jax.tree_util.tree_structure(vb))
+
+
+def test_attn_impl_auto_resolves_at_model_gates(rng, monkeypatch):
+    """attn_impl='auto' must behave as the platform-resolved literal INSIDE
+    directly-constructed models — the gates string-compare 'pallas', and an
+    unresolved 'auto' used to silently take the composed-XLA path (the bug
+    that contaminated the first round-3 roofline full_forward row)."""
+    from ultrasound_modeling_tpu.models import common
+
+    assert common.resolve_attn_impl("xla") == "xla"
+    assert common.resolve_attn_impl("pallas") == "pallas"
+    # on this CPU test host 'auto' is XLA...
+    assert common.resolve_attn_impl("auto") == "xla"
+    # ...and with the platform faked to TPU it must become 'pallas', so a
+    # directly-built Attention(attn_impl='auto') routes to the fused kernel.
+    class _Dev:
+        platform = "tpu"
+    monkeypatch.setattr(common.jax, "devices", lambda *a: [_Dev()])
+    assert common.resolve_attn_impl("auto") == "pallas"
+    monkeypatch.undo()
+
+    # end-to-end on CPU: 'auto' == 'xla' outputs for a direct construction
+    b, s, h, heads = 2, 10, 32, 4
+    x = jnp.asarray(rng.normal(size=(b, s, h)), jnp.float32)
+    m_xla = Attention(hidden_size=h, num_heads=heads, attn_impl="xla")
+    variables = m_xla.init(jax.random.PRNGKey(0), x, False)
+    m_auto = Attention(hidden_size=h, num_heads=heads, attn_impl="auto")
+    np.testing.assert_array_equal(
+        np.asarray(m_auto.apply(variables, x, False)),
+        np.asarray(m_xla.apply(variables, x, False)))

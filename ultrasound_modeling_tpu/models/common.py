@@ -44,6 +44,22 @@ def compute_dtype():
     return _COMPUTE_DTYPE
 
 
+def resolve_attn_impl(impl: str) -> str:
+    """Resolve 'auto' per platform: fused Pallas kernels on TPU, XLA
+    elsewhere.  Measured on one v5e chip (batch-128 forward, bf16): Swin
+    +29% (20-token windows), ViT +49% (33.0 vs 49.2 ms), TransUNet +2.5%
+    (21.1 vs 21.7 ms) — the VMEM tile cap in models/transunet.Attention is
+    what makes the long-sequence cases win.
+
+    Model gates compare the literal string 'pallas', so this must run
+    before (or at) the gate — the modules call it themselves, which keeps
+    directly-constructed models (attn_impl='auto') on the measured-fastest
+    path instead of silently degrading to XLA."""
+    if impl == "auto":
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    return impl
+
+
 def activation(kind: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if kind == "leaky":
         return lambda x: nn.leaky_relu(x, negative_slope=LEAKY_ALPHA)

@@ -14,15 +14,12 @@ from ultrasound_modeling_tpu.config import ModelConfig
 
 
 def _resolve_impl(impl: str) -> str:
-    """Resolve 'auto' per platform: fused Pallas kernel on TPU, XLA
-    elsewhere.  Measured on one v5e chip (batch-128 forward, bf16): Swin
-    +29% (20-token windows), ViT +49% (33.0 vs 49.2 ms), TransUNet +2.5%
-    (21.1 vs 21.7 ms) — the VMEM tile cap in models/transunet.Attention is
-    what makes the long-sequence cases win."""
-    if impl == "auto":
-        import jax
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    return impl
+    """Resolve 'auto' per platform (see models.common.resolve_attn_impl).
+    The models now resolve 'auto' themselves at their gates; this stays so
+    registry-built models carry the resolved literal (cheaper than
+    re-resolving at every trace) and for older callers."""
+    from ultrasound_modeling_tpu.models.common import resolve_attn_impl
+    return resolve_attn_impl(impl)
 
 
 def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ultrasound_modeling_tpu.models.common import compute_dtype, conv_transpose, dense
+from ultrasound_modeling_tpu.models.common import (compute_dtype,
+                                                   conv_transpose, dense,
+                                                   resolve_attn_impl)
 from ultrasound_modeling_tpu.ops import window_attn as wa
 
 SWIN_LN_EPS = 1e-5  # reference: SwinTransformer.py:179
@@ -109,7 +111,7 @@ class WindowAttention(nn.Module):
         proj_w = self.param("proj_kernel", nn.initializers.glorot_uniform(),
                             (self.dim, self.dim))
         proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
-        if self.attn_impl == "pallas":
+        if resolve_attn_impl(self.attn_impl) == "pallas":
             from ultrasound_modeling_tpu.ops import pallas_kernels as pk
             return pk.window_attention_fused(
                 x_windows, qkv, qkv_b, proj_w, proj_b, table, rel_index,

@@ -24,7 +24,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ultrasound_modeling_tpu.models.common import (
-    Norm, activation, compute_dtype, conv, conv_transpose, dense)
+    Norm, activation, compute_dtype, conv, conv_transpose, dense,
+    resolve_attn_impl)
 from ultrasound_modeling_tpu.models.resnest import ResNeStEncoder
 from ultrasound_modeling_tpu.ops.attention import mha
 
@@ -74,7 +75,7 @@ class Attention(nn.Module):
         # recompute backward costs more than it saves (ViT train -29%,
         # measured on v5e), so training traces the composed XLA path.
         # ``train`` is a static Python bool — this branch is trace-time.
-        if self.attn_impl == "pallas" and not train:
+        if resolve_attn_impl(self.attn_impl) == "pallas" and not train:
             from ultrasound_modeling_tpu.ops import pallas_kernels as pk
             qkv_w = jnp.concatenate([wq, wk, wv], axis=1)
             qkv_b = jnp.concatenate([bq, bk, bv])
@@ -214,7 +215,8 @@ class Encoder(nn.Module):
         # The fused stack's matmul contract is bf16 (inputs and inter-layer
         # stream), so it only engages under bf16 compute — f32 eval keeps
         # the composed path's full-precision numerics.
-        use_fused_stack = (self.attn_impl == "pallas" and not train
+        use_fused_stack = (resolve_attn_impl(self.attn_impl) == "pallas"
+                           and not train
                            and compute_dtype() == jnp.bfloat16
                            and not use_pp and not self.is_initializing())
         if use_pp:

@@ -16,7 +16,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ultrasound_modeling_tpu.models.common import compute_dtype
+from ultrasound_modeling_tpu.models.common import (compute_dtype,
+                                                   resolve_attn_impl)
 from ultrasound_modeling_tpu.models.transunet import Block, TRANSFORMER_LN_EPS
 
 
@@ -87,7 +88,8 @@ class ViTSegmenter(nn.Module):
         # are identical.  The kernel's matmul contract is bf16 (inputs and
         # inter-layer stream), so it only engages under bf16 compute — f32
         # eval keeps the composed path's full-precision numerics.
-        use_fused = (self.attn_impl == "pallas" and not train
+        use_fused = (resolve_attn_impl(self.attn_impl) == "pallas"
+                     and not train
                      and compute_dtype() == jnp.bfloat16
                      and not self.is_initializing())
         if use_fused:
