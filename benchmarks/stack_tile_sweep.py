@@ -47,6 +47,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--tiles", default="4,8,16,32")
+    ap.add_argument("--flavors", default="masked,perelem",
+                    help="comma subset of {masked,perelem}")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +97,10 @@ def main():
 
     x_full = jnp.asarray(rng.normal(size=(b, 256, 80, 10)), jnp.float32)
 
+    flavors = [f.strip() for f in args.flavors.split(",") if f.strip()]
     for pe in (False, True):
+        if ("perelem" if pe else "masked") not in flavors:
+            continue
         for t in (int(v) for v in args.tiles.split(",")):
             f, fval = stack_fn(t, pe)
             fargs = (xb, stacked, fin["scale"], fin["bias"])
