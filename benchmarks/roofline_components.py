@@ -150,9 +150,11 @@ def main():
     x = jnp.asarray(rng.normal(size=(b, 256, 80, 10)), jnp.float32)
 
     # --- full forward -------------------------------------------------------
-    # attn_impl must be resolved explicitly: TransUNet compares the literal
-    # string ('auto' would silently take the composed-XLA stack path — the
-    # bug that contaminated the first clean-pass full_forward row).
+    # Resolving 'auto' here is belt-and-braces: models now resolve it at
+    # their own gates (models/common.resolve_attn_impl) — the explicit
+    # resolution documents the historical bug that contaminated the first
+    # clean-pass full_forward row (unresolved 'auto' measured XLA while
+    # claiming Pallas).
     from ultrasound_modeling_tpu.models.registry import _resolve_impl
     model = TransUNet(attn_impl=_resolve_impl("auto"))
     full = bench_module("full_forward", model, (x,))
@@ -257,6 +259,7 @@ def main():
     # --- accounting ---------------------------------------------------------
     comp = [r for r in rows
             if r["component"] not in ("full_forward", "ingest_cast",
+                                      "full_forward_xla_stack",
                                       "transformer_stack_8L_xla")
             and not r["component"].startswith("flat_norm_stats")]
     acct = {

@@ -115,9 +115,12 @@ def main():
             # full forward with the model's internal call steered by env
             os.environ["UM_TPU_STACK_TILE"] = str(t)
             os.environ["UM_TPU_STACK_PER_ELEM"] = "1" if pe else "0"
-            # 'pallas' literally: TransUNet string-compares attn_impl, so
-            # 'auto' would measure the composed-XLA path for every config
-            # (the bug behind the first sweep's flat full_forward column).
+            # 'pallas' literally: belt-and-braces.  Models now resolve
+            # 'auto' at their gates (models/common.resolve_attn_impl), so
+            # 'auto' would also work on a TPU host — the explicit literal
+            # documents the historical bug (the first sweep's flat
+            # full_forward column measured XLA for every config) and keeps
+            # this sweep unambiguous on any platform.
             model = TransUNet(attn_impl="pallas")
             mv = jax.jit(model.init, static_argnums=(2,))(
                 {"params": key, "dropout": jax.random.PRNGKey(1)},

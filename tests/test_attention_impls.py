@@ -66,8 +66,15 @@ def test_attn_impl_auto_resolves_at_model_gates(rng, monkeypatch):
 
     assert common.resolve_attn_impl("xla") == "xla"
     assert common.resolve_attn_impl("pallas") == "pallas"
-    # on this CPU test host 'auto' is XLA...
-    assert common.resolve_attn_impl("auto") == "xla"
+    # 'auto' resolves per platform (XLA on the CPU test host, pallas if
+    # this suite ever runs on a TPU host).
+    import jax
+    expected = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    assert common.resolve_attn_impl("auto") == expected
+    # typos must raise, not silently degrade to the composed-XLA path
+    import pytest
+    with pytest.raises(ValueError):
+        common.resolve_attn_impl("palas")
     # ...and with the platform faked to TPU it must become 'pallas', so a
     # directly-built Attention(attn_impl='auto') routes to the fused kernel.
     class _Dev:

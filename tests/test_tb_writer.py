@@ -101,3 +101,71 @@ def test_scalar_event_roundtrip(tmp_path):
     value = _decode_fields(summary[1][0])
     assert value[1] == [b"loss"]
     assert abs(value[2][0] - 0.125) < 1e-7
+
+
+def test_image_event_roundtrip(tmp_path):
+    """Image summaries decode as Summary.Value field 4 (Image) with a valid
+    PNG payload — the reference's tf.summary.image panel timeline
+    (reference: MainNumpy.py:54-60,108-113)."""
+    import numpy as np
+
+    img = (np.arange(20 * 12).reshape(20, 12) * 3 % 256).astype(np.uint8)
+    w = tb.EventWriter(str(tmp_path))
+    w.image("panel", img, step=42)
+    w.close()
+    files = os.listdir(str(tmp_path))
+    records = _read_records(os.path.join(str(tmp_path), files[0]))
+    assert len(records) == 2  # file_version + image
+
+    ev = _decode_fields(records[1])
+    assert ev[2] == [42]  # step
+    value = _decode_fields(_decode_fields(ev[5][0])[1][0])
+    assert value[1] == [b"panel"]
+    image = _decode_fields(value[4][0])
+    assert image[1] == [20] and image[2] == [12] and image[3] == [1]
+    png = image[4][0]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode the PNG back and compare pixels (IHDR dims + zlib scanlines)
+    ihdr = png[16:29]
+    width, height = struct.unpack(">II", ihdr[:8])
+    assert (width, height) == (12, 20)
+    import zlib
+    idat_off = png.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", png[idat_off - 4:idat_off])
+    raw = zlib.decompress(png[idat_off + 4:idat_off + 4 + idat_len])
+    rows = np.frombuffer(raw, np.uint8).reshape(20, 13)
+    assert (rows[:, 0] == 0).all()  # filter byte 0 per scanline
+    np.testing.assert_array_equal(rows[:, 1:], img)
+
+
+def test_metric_logger_routes_images_to_tb(tmp_path):
+    """MetricLogger.images must land in the events file (not only loose
+    PNGs)."""
+    import numpy as np
+
+    from ultrasound_modeling_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path))
+    pred = np.random.default_rng(0).random((16, 10))
+    truth = np.random.default_rng(1).random((16, 10))
+    lg.images(5, "val", pred, truth)
+    lg.close()
+    event_files = [f for f in os.listdir(str(tmp_path))
+                   if f.startswith("events.out.tfevents.")]
+    assert len(event_files) == 1
+    records = _read_records(os.path.join(str(tmp_path), event_files[0]))
+    img_events = []
+    for rec in records[1:]:
+        ev = _decode_fields(rec)
+        if 5 not in ev:
+            continue
+        value = _decode_fields(_decode_fields(ev[5][0])[1][0])
+        if 4 in value:
+            img_events.append((ev[2][0], value))
+    assert len(img_events) == 1
+    step, value = img_events[0]
+    assert step == 5 and value[1] == [b"val"]
+    image = _decode_fields(value[4][0])
+    # side-by-side panel: width doubles
+    assert image[1] == [16] and image[2] == [20]
+    assert image[4][0][:8] == b"\x89PNG\r\n\x1a\n"

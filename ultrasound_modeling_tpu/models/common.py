@@ -57,6 +57,12 @@ def resolve_attn_impl(impl: str) -> str:
     path instead of silently degrading to XLA."""
     if impl == "auto":
         return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if impl not in ("xla", "pallas"):
+        # A typo ('palas') would otherwise silently degrade to the
+        # composed-XLA path — the same silent-degradation class the 'auto'
+        # resolution fix closed.
+        raise ValueError(f"unknown attn_impl {impl!r}; "
+                         "expected 'auto', 'xla' or 'pallas'")
     return impl
 
 

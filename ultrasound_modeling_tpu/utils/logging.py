@@ -49,20 +49,29 @@ class MetricLogger:
 
     def images(self, step: int, tag: str, pred: np.ndarray,
                truth: np.ndarray) -> None:
-        """Side-by-side panel (reference: MainNumpy.py:58-60)."""
+        """Side-by-side panel (reference: MainNumpy.py:58-60) — written as a
+        real TensorBoard image summary on the step axis (the reference's
+        ``tf.summary.image`` cadence, MainNumpy.py:54-60,108-113) AND as a
+        loose PNG under ``<dir>/images/`` for shell-level inspection."""
         if not self.log_dir:
             return
+        panel = np.concatenate([np.asarray(pred), np.asarray(truth)], axis=1)
+        gray = panel[..., -1] if panel.ndim == 3 else panel
+        if self._tb:
+            lo, hi = float(gray.min()), float(gray.max())
+            u8 = np.zeros_like(gray, dtype=np.uint8) if hi <= lo else \
+                np.clip((gray - lo) / (hi - lo) * 255.0, 0, 255).astype(np.uint8)
+            self._tb.image(tag, u8, int(step))
         try:
             import matplotlib
             matplotlib.use("Agg")
             from matplotlib import pyplot as plt
         except Exception:
             return
-        panel = np.concatenate([np.asarray(pred), np.asarray(truth)], axis=1)
         img_dir = os.path.join(self.log_dir, "images")
         os.makedirs(img_dir, exist_ok=True)
         fig, ax = plt.subplots(figsize=(6, 6))
-        ax.imshow(panel[..., -1] if panel.ndim == 3 else panel, cmap="magma")
+        ax.imshow(gray, cmap="magma")
         ax.set_title(f"{tag} step {step} (pred | truth)")
         ax.axis("off")
         fig.savefig(os.path.join(img_dir, f"{tag}_{step}.png"))
