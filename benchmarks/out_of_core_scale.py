@@ -35,12 +35,24 @@ BATCH = 32
 
 
 def evict(path):
-    """Drop the file's pages from the page cache (no root needed)."""
-    fd = os.open(path, os.O_RDONLY)
+    """Drop the file's pages from the page cache.
+
+    DONTNEED only drops CLEAN pages: immediately after generation the
+    shard's pages are dirty and survive the fadvise (the round-3 run of
+    this harness recorded a 934 MB/s "cold" leg on a 76 MB/s random-read
+    disk that way).  So: fsync first (force writeback -> pages clean),
+    fadvise, and — when running as root — drop_caches as belt-and-braces."""
+    fd = os.open(path, os.O_RDWR)
     try:
+        os.fsync(fd)
         os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
     finally:
         os.close(fd)
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3\n")
+    except (PermissionError, OSError):
+        pass  # not root: fsync+fadvise above is the best available
 
 
 def make_shard(path, n_rows):
