@@ -95,6 +95,46 @@ def _bench_forward(model, x, n_warmup=3, n_iter=20):
     }
 
 
+def _bench_train(model, batch, h, w, c, n_windows=5, window=32):
+    """Train-step headline (VERDICT r3 #7): fused augment+label2vec+fwd+bwd+
+    clip+adam step (train/step.py make_train_step — the program `cli train`
+    runs), steady-state ms/step with a scalar loss pull as the sync.
+    Reference loop being priced: MainNumpy.py:41-66 / VisionTransformer.py:235-245.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ultrasound_modeling_tpu.train import losses, optim
+    from ultrasound_modeling_tpu.train import step as step_mod
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(batch, h, w, c)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 2, size=(batch, h, w)), jnp.float32)
+    lr = jnp.float32(1e-3)
+    tx = optim.make_direction(clip_norm=1.0)
+    state = step_mod.TrainState.create(model, tx, x, jax.random.PRNGKey(0))
+    step = step_mod.make_train_step(model, losses.cce_smooth, tx,
+                                    augment=True, donate=False)
+
+    st, loss, _ = step(state, x, y, lr)
+    float(loss)  # compile + sync
+    for _ in range(3):
+        st, loss, _ = step(st, x, y, lr)
+    float(loss)
+    best = float("inf")
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            st, loss, _ = step(st, x, y, lr)
+        float(loss)
+        best = min(best, (time.perf_counter() - t0) / window)
+    return {
+        "train_ms_per_step": float(best * 1e3),
+        "train_fps": float(batch / best),
+        "train_batch": batch,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -115,8 +155,17 @@ def main():
     # Build through the registry: resolves attn_impl='auto' to the fused
     # Pallas kernel on TPU — the SAME kernel `cli infer` serves with, so
     # the headline measures the production path.
-    model = build_model(default_config("transunet").model)
+    cfg = default_config("transunet")
+    model = build_model(cfg.model)
     stats = _bench_forward(model, x)
+
+    # Train-step headline on the same flagship (b64 matches the reference's
+    # training batch, VisionTransformer.py:241).  BENCH_TRAIN=0 skips.
+    if os.environ.get("BENCH_TRAIN", "1") not in ("0", "false"):
+        h, w = cfg.model.img_size
+        train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
+        stats.update(_bench_train(model, train_batch, h, w,
+                                  cfg.model.in_channels))
 
     # Reference CPU baseline: the evaluator path runs batch-1 CPU inference
     # with a fresh model load per frame (TBIEvaluator.py:198-238).  MEASURED
@@ -139,6 +188,8 @@ def main():
         "batch": batch,
         "dtype": "bfloat16" if use_bf16 else "float32",
         "device": str(jax.devices()[0]),
+        **{k: round(v, 2) for k, v in stats.items()
+           if k.startswith("train_")},
     }))
 
 
