@@ -77,19 +77,26 @@ def make_shard(path, n_rows):
 def bench_gather(path, n_rows, n_gather=2048):
     from ultrasound_modeling_tpu.data import native_loader
 
-    idx = np.random.default_rng(1).permutation(n_rows)[:n_gather].astype(
-        np.int64)
+    # DISJOINT row sets per loader config: this VM's virtio disk sits on a
+    # hypervisor-side cache that guest drop_caches cannot evict, so a leg
+    # that re-reads rows a previous leg touched measures the HOST cache
+    # (the first run of this table read 1.8 GB/s "cold" mmap on rows the
+    # native leg had just pulled twice).  Disjoint sets at 8 GB scale keep
+    # each cold leg on rows last touched at generation time.
+    perm = np.random.default_rng(1).permutation(n_rows).astype(np.int64)
     out = {}
 
-    def run(s):
+    def run(s, idx):
         t0 = time.perf_counter()
         for start in range(0, n_gather, BATCH):
             s.gather(idx[start:start + BATCH])
         return time.perf_counter() - t0
 
     mb = n_gather * ROW_BYTES / 1e6
-    for name, kw in (("native", {}), ("mmap_fallback",
-                                      {"force_fallback": True})):
+    for li, (name, kw) in enumerate((("native", {}),
+                                     ("mmap_fallback",
+                                      {"force_fallback": True}))):
+        idx = perm[li * n_gather:(li + 1) * n_gather]
         # Evict BEFORE constructing the shard: the mmap fallback maps the
         # file at construction, and POSIX_FADV_DONTNEED does not reliably
         # drop pages that are already mapped (the first run of this harness
@@ -100,8 +107,8 @@ def bench_gather(path, n_rows, n_gather=2048):
         if name == "native" and not shard.native:
             out["native_available"] = False
             continue
-        cold = run(shard)
-        warm = run(shard)          # same rows, now cached
+        cold = run(shard, idx)
+        warm = run(shard, idx)     # same rows, now cached
         out[f"{name}_cold_s"] = round(cold, 3)
         out[f"{name}_cold_MBps"] = round(mb / cold, 1)
         out[f"{name}_warm_MBps"] = round(mb / warm, 1)
