@@ -113,3 +113,44 @@ def test_auc_perfect_and_random():
     p_perfect = jnp.asarray(np.repeat([0.1, 0.9], 100))
     s = metrics.update(metrics.zeros(3), y, p_perfect, jnp.float32(0.0))
     assert float(metrics.summarize(s)["auc"]) > 0.99
+
+
+def test_adam_mu_bf16_state_and_parity():
+    """TrainConfig.adam_mu_dtype='bfloat16' (the round-4 HBM-bytes
+    optimization) stores the Adam first moment in bf16 and tracks the f32-mu
+    trajectory: mu is an EMA of bf16-computed gradients, so storing it bf16
+    perturbs each update well below the grad's own bf16 quantum."""
+    model = ResNeStUNet(num_classes=3, radix=2, kpaths=2)
+    loss_fn = losses.class_balanced
+    sample = jnp.zeros((4, 64, 64, 6))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 6)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 2, size=(4, 64, 64)), jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    trajs = {}
+    for mu_dtype in (None, "bfloat16"):
+        tx = optim.make_direction(clip_norm=None, mu_dtype=mu_dtype)
+        step = step_mod.make_train_step(model, loss_fn, tx, augment=False,
+                                        donate=False)
+        state = step_mod.TrainState.create(model, tx, sample,
+                                           jax.random.PRNGKey(0))
+        if mu_dtype == "bfloat16":
+            adam_state = [s for s in jax.tree_util.tree_leaves(
+                state.opt_state, is_leaf=lambda n: hasattr(n, "mu"))
+                if hasattr(n := s, "mu")]
+            assert adam_state, "no ScaleByAdamState found in opt_state"
+            mu_dtypes = {p.dtype for p in
+                         jax.tree_util.tree_leaves(adam_state[0].mu)}
+            assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}, mu_dtypes
+            nu_dtypes = {p.dtype for p in
+                         jax.tree_util.tree_leaves(adam_state[0].nu)}
+            assert nu_dtypes == {jnp.dtype(jnp.float32)}, nu_dtypes
+        traj = []
+        for _ in range(6):
+            state, loss, _ = step(state, x, y, lr)
+            traj.append(float(loss))
+        trajs[mu_dtype] = traj
+    deltas = [abs(a - b) for a, b in zip(trajs[None], trajs["bfloat16"])]
+    assert np.isfinite(trajs["bfloat16"]).all()
+    assert max(deltas) < 5e-3, (deltas, trajs)

@@ -64,6 +64,10 @@ def _add_common(p):
                    help="jax.checkpoint the conv stages (ResNeSt stages + "
                         "decoder blocks): trades idle MXU FLOPs for HBM "
                         "bytes in the bandwidth-bound train step")
+    p.add_argument("--adam-mu-bf16", action="store_true",
+                   help="store the Adam first moment in bfloat16 (halves "
+                        "its HBM read+write traffic in the bytes-bound "
+                        "train step; second moment stays f32)")
     p.add_argument("--config", default=None,
                    help="TOML config file (overrides per-family defaults)")
     p.add_argument("--resume", action="store_true",
@@ -100,6 +104,8 @@ def build_config(args):
     if getattr(args, "remat_conv", False):
         model = dc.replace(model, remat_conv=True)
     train = cfg.train
+    if getattr(args, "adam_mu_bf16", False):
+        train = dc.replace(train, adam_mu_dtype="bfloat16")
     if args.batch_size:
         train = dc.replace(train, batch_size=args.batch_size)
     if args.seed is not None:
@@ -217,10 +223,11 @@ def _restore_state(mcfg, tcfg, sample_shape, ckpt_dir):
     model = build_model(mcfg)
     clip = tcfg.clip_global_norm if tcfg.loss != "class_balanced" else None
     if mcfg.name == "mobileunet":
-        tx = optim.make_dual_rate_direction()
+        tx = optim.make_dual_rate_direction(mu_dtype=tcfg.adam_mu_dtype)
     else:
         tx = optim.make_direction(clip_norm=clip,
-                                  weight_decay=tcfg.weight_decay)
+                                  weight_decay=tcfg.weight_decay,
+                                  mu_dtype=tcfg.adam_mu_dtype)
     sample = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
     # init from the TRAIN seed (not a fixed 0) so a ckpt-less build matches
     # what `cli train` would have initialized

@@ -80,10 +80,12 @@ class Trainer:
         #  reference: TBI_ResNest.py:43-46)
         if cfg.model.name == "mobileunet":
             # dual Adam rates, beta1 0.5 (reference: TBIPixelCNN.py:256-257)
-            self.tx = optim.make_dual_rate_direction()
+            self.tx = optim.make_dual_rate_direction(
+                mu_dtype=tc.adam_mu_dtype)
         else:
             self.tx = optim.make_direction(clip_norm=clip,
-                                           weight_decay=tc.weight_decay)
+                                           weight_decay=tc.weight_decay,
+                                           mu_dtype=tc.adam_mu_dtype)
         self.schedule = optim.piecewise_constant(
             tc.learning_rate, tc.lr_boundaries, tc.lr_values)
         self.plateau_scale = 1.0

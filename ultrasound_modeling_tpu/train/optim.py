@@ -40,7 +40,8 @@ def piecewise_constant(base: float, boundaries: Sequence[int],
 
 def make_direction(clip_norm: Optional[float] = 1.0,
                    b1: float = 0.9, b2: float = 0.999,
-                   weight_decay: float = 0.0
+                   weight_decay: float = 0.0,
+                   mu_dtype: Optional[str] = None
                    ) -> optax.GradientTransformation:
     """Clip + Adam *direction* (no lr scale — the train step applies the
     runtime learning rate; see train.step.make_train_step).
@@ -49,11 +50,16 @@ def make_direction(clip_norm: Optional[float] = 1.0,
     rescale; since the step multiplies the whole update by the runtime lr,
     the effective decay follows the piecewise schedule — the intent of the
     reference's scheduled wd lambda (reference: MainNumpy.py:87-88, whose
-    AdamW import is commented out there)."""
+    AdamW import is commented out there).
+
+    ``mu_dtype`` ("bfloat16") stores the first moment in bf16 — an HBM-bytes
+    optimization for the bytes-bound train step (BASELINE round-4 roofline);
+    the second moment stays f32 (bf16 under the rsqrt would inject ~4e-3
+    relative step noise)."""
     parts = []
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
-    parts.append(optax.scale_by_adam(b1=b1, b2=b2))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, mu_dtype=mu_dtype))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     return optax.chain(*parts)
@@ -78,7 +84,8 @@ def make_optimizer(learning_rate: float | Callable,
 
 
 def make_dual_rate_direction(encoder_ratio: float = 0.1, b1: float = 0.5,
-                             encoder_prefix: str = "encoder"
+                             encoder_prefix: str = "encoder",
+                             mu_dtype: Optional[str] = None
                              ) -> optax.GradientTransformation:
     """MobileUNet dual-Adam direction (reference: TBIPixelCNN.py:256-257,
     290-298): encoder params train at ``encoder_ratio`` x the decoder rate
@@ -97,9 +104,10 @@ def make_dual_rate_direction(encoder_ratio: float = 0.1, b1: float = 0.5,
             params)
 
     return optax.multi_transform(
-        {"encoder": optax.chain(optax.scale_by_adam(b1=b1),
+        {"encoder": optax.chain(optax.scale_by_adam(b1=b1,
+                                                    mu_dtype=mu_dtype),
                                 optax.scale(encoder_ratio)),
-         "decoder": optax.scale_by_adam(b1=b1)},
+         "decoder": optax.scale_by_adam(b1=b1, mu_dtype=mu_dtype)},
         label_fn)
 
 
