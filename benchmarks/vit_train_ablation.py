@@ -9,8 +9,6 @@ Ablation (separately-jitted scalar-pull timings at the train batch):
   fwd_bwd        value_and_grad of the loss (no optimizer)
   full_step      the production fused step (augment + label2vec + loss +
                  backward + clip + adam)
-  fwd_bwd_nodrop value_and_grad with dropout disabled (isolates the
-                 dropout mask generation + apply cost in the backward)
   fwd_bwd_fullremat
                  value_and_grad with the whole forward jax.checkpoint'ed:
                  saved-activation traffic ~0 at the cost of one extra
@@ -88,10 +86,15 @@ def main():
         return jnp.sum(out.astype(jnp.float32))
 
     res["fwd_ms"] = round(_time(fwd, params, x), 3)
+    print(json.dumps(res), flush=True)
 
-    def ce(params, x, drop):
-        rngs = {"dropout": jax.random.PRNGKey(2)} if drop else None
-        out = model.apply({"params": params}, x, drop, rngs=rngs)
+    def ce(params, x):
+        # train=True throughout: train=False routes attention through the
+        # inference-only fused Pallas block, which is not differentiable
+        # (dropout_rate is 0.0 in the vit config, so train=True only
+        # selects the composed-XLA attention path the real step uses)
+        out = model.apply({"params": params}, x, True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
         logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
         return -jnp.mean(jnp.sum(yv * logp, axis=-1))
 
@@ -103,17 +106,11 @@ def main():
 
     @jax.jit
     def fwd_bwd(params, x):
-        l, g = jax.value_and_grad(lambda p: ce(p, x, True))(params)
+        l, g = jax.value_and_grad(lambda p: ce(p, x))(params)
         return l + _grad_scalar(g)
 
     res["fwd_bwd_ms"] = round(_time(fwd_bwd, params, x), 3)
-
-    @jax.jit
-    def fwd_bwd_nodrop(params, x):
-        l, g = jax.value_and_grad(lambda p: ce(p, x, False))(params)
-        return l + _grad_scalar(g)
-
-    res["fwd_bwd_nodrop_ms"] = round(_time(fwd_bwd_nodrop, params, x), 3)
+    print(json.dumps(res), flush=True)
 
     @jax.jit
     def fwd_bwd_fullremat(params, x):
@@ -121,10 +118,11 @@ def main():
         # re-runs the forward — the extreme point of the bytes-vs-FLOPs
         # trade (activation stores ~0, one extra forward of FLOPs)
         l, g = jax.value_and_grad(
-            lambda p: jax.checkpoint(lambda q: ce(q, x, True))(p))(params)
+            lambda p: jax.checkpoint(lambda q: ce(q, x))(p))(params)
         return l + _grad_scalar(g)
 
     res["fwd_bwd_fullremat_ms"] = round(_time(fwd_bwd_fullremat, params, x), 3)
+    print(json.dumps(res), flush=True)
 
     # full production step for scale
     tx = optim.make_direction(clip_norm=1.0)

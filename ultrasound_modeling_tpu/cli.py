@@ -65,9 +65,10 @@ def _add_common(p):
                         "decoder blocks): trades idle MXU FLOPs for HBM "
                         "bytes in the bandwidth-bound train step")
     p.add_argument("--adam-mu-bf16", action="store_true",
-                   help="store the Adam first moment in bfloat16 (halves "
-                        "its HBM read+write traffic in the bytes-bound "
-                        "train step; second moment stays f32)")
+                   help="store the Adam first moment in bfloat16 (shrinks "
+                        "optimizer state/checkpoints; measured "
+                        "latency-neutral — state traffic is <1%% of the "
+                        "step's HBM bytes; second moment stays f32)")
     p.add_argument("--config", default=None,
                    help="TOML config file (overrides per-family defaults)")
     p.add_argument("--resume", action="store_true",

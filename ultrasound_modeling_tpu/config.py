@@ -132,10 +132,11 @@ class TrainConfig:
     weight_decay: float = 0.0
     clip_global_norm: float = 1.0     # reference: VisionTransformer.py:244
     # Adam first-moment storage dtype (None = f32).  "bfloat16" halves the
-    # mu read+write HBM traffic of the (bytes-bound, see BASELINE round-4
-    # roofline) train step; the second moment stays f32 (it sits under a
-    # sqrt in the update, where bf16's 8-bit mantissa would inject ~4e-3
-    # relative denominator noise).
+    # mu state (checkpoint/HBM capacity); measured latency-NEUTRAL on the
+    # train step (state traffic is <1% of its HBM bytes — BASELINE round-4
+    # harvest A/Bs).  The second moment stays f32 (it sits under a sqrt in
+    # the update, where bf16's 8-bit mantissa would inject ~4e-3 relative
+    # denominator noise).
     adam_mu_dtype: Optional[str] = None
     loss: str = "cce_smooth"          # cce_smooth | class_balanced | factor_scaled
     # Optional per-class scale override for the factor-family losses
