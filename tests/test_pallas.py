@@ -392,3 +392,85 @@ def test_fused_stack_not_engaged_at_f32(rng):
     want = np.asarray(m_x.apply(vv, xi, False))
     got = np.asarray(m_p.apply(vv, xi, False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_attention_train_fused_fwd_and_grads():
+    """Train-path fused attention (saving backward): forward matches the
+    composed q/k/v/mha/out chain exactly (same f32 accumulation), and every
+    gradient — x and the four projections — matches composed autodiff to f32
+    rounding (the backward consumes the kernel's saved qkv/o/probs, no
+    recompute).  Covers both one-sequence-per-step and packed (t>1,
+    block-diagonal mask) layouts."""
+    from ultrasound_modeling_tpu.ops.attention import mha
+    from ultrasound_modeling_tpu.ops.pallas_kernels import attention_train_fused
+
+    rng = np.random.default_rng(7)
+    b, n, c, heads = 4, 16, 32, 4
+    scale = 1.0 / np.sqrt(heads)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    qkv_w = jnp.asarray(rng.normal(size=(c, 3 * c), scale=0.2), jnp.float32)
+    qkv_b = jnp.asarray(rng.normal(size=(3 * c,), scale=0.1), jnp.float32)
+    proj_w = jnp.asarray(rng.normal(size=(c, c), scale=0.2), jnp.float32)
+    proj_b = jnp.asarray(rng.normal(size=(c,), scale=0.1), jnp.float32)
+
+    def composed(x, qkv_w, qkv_b, proj_w, proj_b):
+        q = x @ qkv_w[:, :c] + qkv_b[:c]
+        k = x @ qkv_w[:, c:2 * c] + qkv_b[c:2 * c]
+        v = x @ qkv_w[:, 2 * c:] + qkv_b[2 * c:]
+        return mha(q, k, v, heads, scale=scale) @ proj_w + proj_b
+
+    args = (x, qkv_w, qkv_b, proj_w, proj_b)
+    want = composed(*args)
+
+    for t in (None, 2):  # default packing and explicit 2-seq tiles
+        def fused(x, qkv_w, qkv_b, proj_w, proj_b):
+            return attention_train_fused(x, qkv_w, qkv_b, proj_w, proj_b,
+                                         heads, scale=scale, seqs_per_step=t,
+                                         interpret=True)
+
+        got = fused(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-6, atol=2e-6)
+
+        def scalar(fn):
+            return lambda a: jnp.sum(jnp.sin(fn(*a)))
+
+        g_want = jax.grad(scalar(composed))(args)
+        g_got = jax.grad(scalar(fused))(args)
+        for name, gw, gg in zip(("x", "qkv_w", "qkv_b", "proj_w", "proj_b"),
+                                g_want, g_got):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"t={t} grad {name}")
+
+
+def test_attn_train_impl_model_gradients():
+    """attn_train_impl='pallas' wired through ViTSegmenter/TransUNet Block:
+    train-mode forward and parameter gradients match the composed path."""
+    from ultrasound_modeling_tpu.models.vit import ViTSegmenter
+
+    rng = np.random.default_rng(8)
+    kw = dict(num_classes=3, hidden_size=32, num_heads=4, num_layers=2,
+              grid=(4, 5), img_size=(32, 20), mlp_dim=64)
+    m_x = ViTSegmenter(attn_train_impl="xla", **kw)
+    m_p = ViTSegmenter(attn_train_impl="pallas", **kw)
+    xi = jnp.asarray(rng.normal(size=(2, 32, 20, 10)), jnp.float32)
+    vv = m_x.init({"params": jax.random.PRNGKey(4)}, xi, True)
+
+    def loss(m):
+        def f(params):
+            out = m.apply({"params": params}, xi, True,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+            return jnp.mean(jnp.square(out))
+        return f
+
+    l_w, g_w = jax.value_and_grad(loss(m_x))(vv["params"])
+    l_g, g_g = jax.value_and_grad(loss(m_p))(vv["params"])
+    np.testing.assert_allclose(float(l_g), float(l_w), rtol=1e-5)
+    flat_w = jax.tree_util.tree_leaves_with_path(g_w)
+    flat_g = jax.tree_util.tree_leaves_with_path(g_g)
+    for (pw, aw), (pg, ag) in zip(flat_w, flat_g):
+        assert pw == pg
+        np.testing.assert_allclose(np.asarray(ag), np.asarray(aw),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=jax.tree_util.keystr(pw))

@@ -64,6 +64,12 @@ def _add_common(p):
                    help="jax.checkpoint the conv stages (ResNeSt stages + "
                         "decoder blocks): trades idle MXU FLOPs for HBM "
                         "bytes in the bandwidth-bound train step")
+    p.add_argument("--attn-train", default=None,
+                   choices=("auto", "xla", "pallas"),
+                   help="train-path attention kernel for transunet/vit: "
+                        "'pallas' = fused forward saving qkv/context/probs "
+                        "for a bf16 hand-written backward (no recompute); "
+                        "default keeps the composed-XLA autodiff path")
     p.add_argument("--adam-mu-bf16", action="store_true",
                    help="store the Adam first moment in bfloat16 (shrinks "
                         "optimizer state/checkpoints; measured "
@@ -104,6 +110,8 @@ def build_config(args):
         model = dc.replace(model, compute_dtype="bfloat16")
     if getattr(args, "remat_conv", False):
         model = dc.replace(model, remat_conv=True)
+    if getattr(args, "attn_train", None):
+        model = dc.replace(model, attn_train_impl=args.attn_train)
     train = cfg.train
     if getattr(args, "adam_mu_bf16", False):
         train = dc.replace(train, adam_mu_dtype="bfloat16")

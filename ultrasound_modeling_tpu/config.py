@@ -100,6 +100,11 @@ class ModelConfig:
     swin_attn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     # Global-attention impl for transunet/vit ('auto' | 'xla' | 'pallas').
     attn_impl: str = "auto"
+    # TRAIN-path attention kernel for transunet/vit ('xla' | 'pallas' |
+    # 'auto'): 'pallas' = fused forward that saves qkv/context/probs for a
+    # hand-written bf16 backward (ops/pallas_kernels.attention_train_fused).
+    # Default 'xla' (composed autodiff) pending the measured A/B.
+    attn_train_impl: str = "xla"
     drop_path_rate: float = 0.1
     dropout_rate: float = 0.0
     # Numerics: compute dtype for the forward pass; params stay f32.

@@ -34,6 +34,8 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             dropout_rate=cfg.dropout_rate, remat=cfg.remat,
             remat_conv=cfg.remat_conv,
             attn_impl=_resolve_impl(cfg.attn_impl),
+            attn_train_impl=_resolve_impl(
+                getattr(cfg, "attn_train_impl", "xla")),
             pp_mesh=pp_mesh, pp_micro=pp_micro)
     if pp_mesh is not None:
         raise ValueError(f"pipeline parallelism requires the scanned "
@@ -52,7 +54,9 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             mlp_dim=cfg.mlp_dim, dropout_rate=cfg.dropout_rate,
             learned_pos=cfg.vit_learned_pos,
             conv_stem=getattr(cfg, "vit_conv_stem", False),
-            attn_impl=_resolve_impl(cfg.attn_impl))
+            attn_impl=_resolve_impl(cfg.attn_impl),
+            attn_train_impl=_resolve_impl(
+                getattr(cfg, "attn_train_impl", "xla")))
     if name == "swin":
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter
         return SwinSegmenter(

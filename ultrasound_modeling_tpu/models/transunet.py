@@ -46,6 +46,11 @@ class Attention(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
+    # Train-path kernel gate (separate from attn_impl: the eval-path fused
+    # kernel is not differentiable, and the train fused kernel pays extra
+    # saved-tensor writes eval doesn't need).  'pallas' = fused forward with
+    # the saving bf16 backward (ops/pallas_kernels.attention_train_fused).
+    attn_train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -87,6 +92,12 @@ class Attention(nn.Module):
             out = pk.window_attention_fused(
                 x, qkv_w, qkv_b, wo, bo, zero_bias, zero_index,
                 self.num_heads, scale=scale, windows_per_step=t)
+        elif train and resolve_attn_impl(self.attn_train_impl) == "pallas":
+            from ultrasound_modeling_tpu.ops import pallas_kernels as pk
+            qkv_w = jnp.concatenate([wq, wk, wv], axis=1)
+            qkv_b = jnp.concatenate([bq, bk, bv])
+            out = pk.attention_train_fused(x, qkv_w, qkv_b, wo, bo,
+                                           self.num_heads, scale=scale)
         else:
             q = x @ wq + bq
             k = x @ wk + bk
@@ -125,13 +136,16 @@ class Block(nn.Module):
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
+    attn_train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = x
         x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="attention_norm")(x)
         x = Attention(self.hidden_size, self.num_heads, self.dropout_rate,
-                      attn_impl=self.attn_impl, name="attn")(x, train)
+                      attn_impl=self.attn_impl,
+                      attn_train_impl=self.attn_train_impl,
+                      name="attn")(x, train)
         x = x + h
         h = x
         x = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS, dtype=compute_dtype(), name="ffn_norm")(x)
@@ -148,11 +162,13 @@ class _ScanBlock(nn.Module):
     mlp_dim: int
     dropout_rate: float
     attn_impl: str = "xla"
+    attn_train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.hidden_size, self.num_heads, self.mlp_dim,
                   self.dropout_rate, attn_impl=self.attn_impl,
+                  attn_train_impl=self.attn_train_impl,
                   name="block")(x, train)
         return x, None
 
@@ -178,6 +194,7 @@ class Encoder(nn.Module):
     dropout_rate: float = 0.0
     remat: bool = False
     attn_impl: str = "xla"
+    attn_train_impl: str = "xla"
     pp_mesh: Optional[Any] = None
     pp_micro: int = 0
     scan_unroll: int = 1
@@ -202,7 +219,7 @@ class Encoder(nn.Module):
             # unchanged ([L, ...] stacked leaves).
             unroll=self.scan_unroll,
         )(self.hidden_size, self.num_heads, self.mlp_dim, self.dropout_rate,
-          self.attn_impl, name="blocks")
+          self.attn_impl, self.attn_train_impl, name="blocks")
         use_pp = (self.pp_mesh is not None
                   and not self.is_initializing()
                   and (self.pp_mesh.shape.get("pipe", 1) > 1
@@ -258,7 +275,8 @@ class Encoder(nn.Module):
                     f"num_layers={n_layers} not divisible by pipeline "
                     f"stages={n_stages}")
         block = Block(self.hidden_size, self.num_heads, self.mlp_dim,
-                      self.dropout_rate, attn_impl=self.attn_impl)
+                      self.dropout_rate, attn_impl=self.attn_impl,
+                      attn_train_impl=self.attn_train_impl)
         want_dropout = bool(self.dropout_rate) and train
         base_key = self.make_rng("dropout") if want_dropout else None
 
@@ -410,6 +428,7 @@ class TransUNet(nn.Module):
     # (BASELINE.md), so this trades idle FLOPs for the bytes that bound it.
     remat_conv: bool = False
     attn_impl: str = "xla"
+    attn_train_impl: str = "xla"
     pp_mesh: Optional[Any] = None   # pipeline the transformer stack (Encoder)
     pp_micro: int = 0
     # unroll the whole 8-layer scan: removes the while-loop's per-layer
@@ -431,7 +450,9 @@ class TransUNet(nn.Module):
         # VisionTransformer.py:108) — a no-op, intentionally preserved.
         encoded = Encoder(self.hidden_size, self.num_heads, self.num_layers,
                           self.mlp_dim, self.dropout_rate, remat=self.remat,
-                          attn_impl=self.attn_impl, pp_mesh=self.pp_mesh,
+                          attn_impl=self.attn_impl,
+                          attn_train_impl=self.attn_train_impl,
+                          pp_mesh=self.pp_mesh,
                           pp_micro=self.pp_micro, scan_unroll=self.scan_unroll,
                           name="encoder")(emb, train)
         return DecoderCup(self.num_classes, self.grid,

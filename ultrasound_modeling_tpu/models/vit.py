@@ -31,6 +31,7 @@ class ViTSegmenter(nn.Module):
     mlp_dim: int = 2048
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
+    attn_train_impl: str = "xla"
     # The reference's position embeddings are CONSTANT zeros — a no-op
     # (``tf.zeros``, never a variable: TBI_Transformer.py:106).  Parity
     # default preserves that; True makes them a learnable zero-init param
@@ -110,6 +111,7 @@ class ViTSegmenter(nn.Module):
             for i in range(self.num_layers):
                 emb = Block(self.hidden_size, self.num_heads, self.mlp_dim,
                             self.dropout_rate, attn_impl=self.attn_impl,
+                            attn_train_impl=self.attn_train_impl,
                             name=f"block_{i}")(emb, train)
             emb = nn.LayerNorm(epsilon=TRANSFORMER_LN_EPS,
                                dtype=compute_dtype(),

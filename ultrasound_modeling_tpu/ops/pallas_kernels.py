@@ -248,6 +248,197 @@ _fused_attn_core.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused attention for the TRAIN path (saving backward)
+# ---------------------------------------------------------------------------
+#
+# The recompute-backward hybrid above loses on long sequences (ViT train
+# -29%, round-2 measurement): its backward re-derives qkv/scores/softmax in
+# f32, re-paying most of the forward.  This variant instead SAVES the
+# backward's inputs from the forward kernel — qkv (unscaled), the
+# pre-projection context o, and the softmax probs — as extra kernel outputs
+# (cheap: ~0.3 ms of extra HBM writes at ViT b128 shapes vs the ~16 ms the
+# fused forward saves over composed XLA, BASELINE round-4 ViT ablation), and
+# hand-writes the backward as bf16 einsums with f32 accumulation — the same
+# cost/precision class as autodiff of the composed path.  Global (non-
+# windowed) attention: the reference's 80/160-token sequences
+# (VisionTransformer.py:9-57, TBI_Transformer.py:50).
+
+
+def _attn_train_kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
+                       offdiag_ref, out_ref, qkv_ref, o_ref, probs_ref, *,
+                       num_heads: int, scale: float, rows: int, c: int,
+                       use_mask: bool):
+    x2 = x_ref[:]                                        # [rows, C]
+    qkv = jnp.dot(x2, qkv_w_ref[:],
+                  preferred_element_type=jnp.float32) + qkv_b_ref[:]
+    qkv_ref[:] = qkv.astype(qkv_ref.dtype)
+    d = c // num_heads
+    head_outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * d:(h + 1) * d] * scale
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if use_mask:
+            scores = scores + offdiag_ref[:]
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs_ref[0, h] = probs.astype(probs_ref.dtype)
+        head_outs.append(jnp.dot(probs, v,
+                                 preferred_element_type=jnp.float32))
+    o = jnp.concatenate(head_outs, axis=-1)              # [rows, C]
+    o_ref[:] = o.astype(o_ref.dtype)
+    y = jnp.dot(o, proj_w_ref[:],
+                preferred_element_type=jnp.float32) + proj_b_ref[:]
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b):
+    num_heads, scale, rows, c, t, n, interpret = static
+    grid = (x2.shape[0] // rows,)
+    # Constant block-diagonal mask restoring per-sequence locality when t
+    # sequences share a tile, passed as an operand (pallas rejects captured
+    # [rows, rows] constants); a zero matrix when t == 1.
+    if t > 1:
+        offdiag = jnp.asarray(
+            (1.0 - np.kron(np.eye(t, dtype=np.float32),
+                           np.ones((n, n), np.float32))) * -1e9)
+    else:
+        offdiag = jnp.zeros((rows, rows), jnp.float32)
+    kernel = functools.partial(
+        _attn_train_kernel, num_heads=num_heads, scale=scale,
+        rows=rows, c=c, use_mask=t > 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 3 * c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, rows, rows), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
+            jax.ShapeDtypeStruct((x2.shape[0], 3 * c), x2.dtype),
+            jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
+            jax.ShapeDtypeStruct((x2.shape[0] // rows, num_heads, rows,
+                                  rows), x2.dtype),
+        ],
+        interpret=interpret,
+    )(x2, qkv_w, qkv_b, proj_w, proj_b, offdiag)
+
+
+def _attn_train_fwd(static, x2, qkv_w, qkv_b, proj_w, proj_b):
+    out, qkv, o, probs = _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b,
+                                                proj_w, proj_b)
+    return out, (x2, qkv, o, probs, qkv_w, proj_w)
+
+
+def _attn_train_bwd(static, res, g):
+    """bf16 operands, f32 accumulation — autodiff's cost/precision class —
+    consuming the forward kernel's saved qkv/o/probs (no recompute)."""
+    num_heads, scale, rows, c, t, n, _ = static
+    x2, qkv, o, probs, qkv_w, proj_w = res
+    gsteps = x2.shape[0] // rows
+    d = c // num_heads
+    f32 = jnp.float32
+    dt = x2.dtype
+
+    g3 = g.reshape(gsteps, rows, c)
+    o3 = o.reshape(gsteps, rows, c)
+    d_proj_w = jnp.einsum("grc,grk->ck", o3, g3,
+                          preferred_element_type=f32)
+    d_proj_b = jnp.sum(g3.astype(f32), (0, 1))
+    do = jnp.einsum("grk,ck->grc", g3, proj_w,
+                    preferred_element_type=f32).astype(dt)
+    do = do.reshape(gsteps, rows, num_heads, d)
+
+    qkv3 = qkv.reshape(gsteps, rows, 3 * c)
+    q = qkv3[..., :c].reshape(gsteps, rows, num_heads, d)
+    k = qkv3[..., c:2 * c].reshape(gsteps, rows, num_heads, d)
+    v = qkv3[..., 2 * c:].reshape(gsteps, rows, num_heads, d)
+
+    p = probs  # [G, h, rows, rows], x2 dtype
+    dp = jnp.einsum("grhd,gshd->ghrs", do, v, preferred_element_type=f32)
+    dv = jnp.einsum("ghrs,grhd->gshd", p, do,
+                    preferred_element_type=f32).astype(dt)
+    # softmax backward in f32 (the composed path's softmax runs f32 too)
+    pf = p.astype(f32)
+    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+    ds = ds.astype(dt)
+    dq = scale * jnp.einsum("ghrs,gshd->grhd", ds, k,
+                            preferred_element_type=f32)
+    dk = scale * jnp.einsum("ghrs,grhd->gshd", ds, q,
+                            preferred_element_type=f32)
+    dqkv = jnp.concatenate([
+        dq.astype(dt).reshape(gsteps, rows, c),
+        dk.astype(dt).reshape(gsteps, rows, c),
+        dv.reshape(gsteps, rows, c)], axis=-1)           # [G, rows, 3C]
+    x3 = x2.reshape(gsteps, rows, c)
+    d_qkv_w = jnp.einsum("grc,grd->cd", x3, dqkv,
+                         preferred_element_type=f32)
+    d_qkv_b = jnp.sum(dqkv.astype(f32), (0, 1))
+    dx = jnp.einsum("grd,cd->grc", dqkv, qkv_w,
+                    preferred_element_type=f32)
+    return (dx.reshape(x2.shape).astype(x2.dtype),
+            d_qkv_w.astype(qkv_w.dtype), d_qkv_b.astype(qkv_w.dtype),
+            d_proj_w.astype(proj_w.dtype), d_proj_b.astype(proj_w.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attn_train_core(static, x2, qkv_w, qkv_b, proj_w, proj_b):
+    """Fused attention forward (Pallas, saving qkv/o/probs) with a
+    saved-intermediates bf16 backward — the train-path counterpart of
+    ``_fused_attn_core`` (whose recompute backward measured -29% on ViT)."""
+    out, _, _, _ = _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b,
+                                          proj_w, proj_b)
+    return out
+
+
+_attn_train_core.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+def attention_train_fused(x: jnp.ndarray, qkv_w: jnp.ndarray,
+                          qkv_b: jnp.ndarray, proj_w: jnp.ndarray,
+                          proj_b: jnp.ndarray, num_heads: int,
+                          scale: Optional[float] = None,
+                          seqs_per_step: Optional[int] = None,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Differentiable fused global MHA: qkv-proj -> scores -> softmax -> PV
+    -> out-proj as one Pallas kernel that also emits the backward's saved
+    tensors.  ``x`` is [B, N, C]; grads flow to x and all four projections.
+    Packs ``seqs_per_step`` sequences per grid step (block-diagonal constant
+    mask) so short sequences still fill the MXU's 8-row sublane tiles."""
+    b, n, c = x.shape
+    d = c // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    interpret = (not _on_tpu()) if interpret is None else interpret
+    t = seqs_per_step if seqs_per_step else max(1, 256 // n)
+    while b % t:
+        t -= 1
+    rows = t * n
+    static = (num_heads, float(scale), rows, c, t, n, bool(interpret))
+    out = _attn_train_core(static, x.reshape(b * n, c), qkv_w, qkv_b,
+                           proj_w, proj_b)
+    return out.reshape(b, n, c)
+
+
+# ---------------------------------------------------------------------------
 # Fused transformer block (inference)
 # ---------------------------------------------------------------------------
 #
