@@ -254,47 +254,65 @@ _fused_attn_core.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 # The recompute-backward hybrid above loses on long sequences (ViT train
 # -29%, round-2 measurement): its backward re-derives qkv/scores/softmax in
 # f32, re-paying most of the forward.  This variant instead SAVES the
-# backward's inputs from the forward kernel — qkv (unscaled), the
-# pre-projection context o, and the softmax probs — as extra kernel outputs
-# (cheap: ~0.3 ms of extra HBM writes at ViT b128 shapes vs the ~16 ms the
-# fused forward saves over composed XLA, BASELINE round-4 ViT ablation), and
-# hand-writes the backward as bf16 einsums with f32 accumulation — the same
-# cost/precision class as autodiff of the composed path.  Global (non-
-# windowed) attention: the reference's 80/160-token sequences
-# (VisionTransformer.py:9-57, TBI_Transformer.py:50).
+# backward's inputs from the forward kernel — qkv (unscaled) and the softmax
+# probs — as extra kernel outputs (cheap: ~0.3 ms of extra HBM writes at ViT
+# b128 shapes vs the ~16 ms the fused forward saves over composed XLA,
+# BASELINE round-4 ViT ablation), and hand-writes the backward as bf16
+# einsums with f32 accumulation — the same cost/precision class as autodiff
+# of the composed path.  Global (non-windowed) attention: the reference's
+# 80/160-token sequences (VisionTransformer.py:9-57, TBI_Transformer.py:50).
+#
+# Grid is (batch_tiles, heads) with HEAD-SLICED weights: a single-axis grid
+# holding the whole [C, 3C] qkv projection resident OOMs scoped VMEM at ViT
+# width (1280 -> 9.8 MB for that operand alone; measured 18.4 MB stack vs
+# the 16 MB limit on v5e).  Per head the kernel sees [C, 3d] / [d, C] weight
+# slices (~1.6 MB at ViT width), computes that head's qkv/scores/softmax/PV
+# and accumulates its output-projection contribution into an f32 VMEM
+# scratch; the last head adds the bias and writes the block's output.  The
+# wrapper pre-permutes the weights head-major; gradients are returned in the
+# original layout.
 
 
-def _attn_train_kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
-                       offdiag_ref, out_ref, qkv_ref, o_ref, probs_ref, *,
+def _attn_train_kernel(x_ref, qkvw_ref, qkvb_ref, projw_ref, projb_ref,
+                       offdiag_ref, out_ref, qkv_ref, probs_ref, acc_ref, *,
                        num_heads: int, scale: float, rows: int, c: int,
                        use_mask: bool):
-    x2 = x_ref[:]                                        # [rows, C]
-    qkv = jnp.dot(x2, qkv_w_ref[:],
-                  preferred_element_type=jnp.float32) + qkv_b_ref[:]
-    qkv_ref[:] = qkv.astype(qkv_ref.dtype)
+    h = pl.program_id(1)
     d = c // num_heads
-    head_outs = []
-    for h in range(num_heads):
-        q = qkv[:, h * d:(h + 1) * d] * scale
-        k = qkv[:, c + h * d:c + (h + 1) * d]
-        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        if use_mask:
-            scores = scores + offdiag_ref[:]
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs_ref[0, h] = probs.astype(probs_ref.dtype)
-        head_outs.append(jnp.dot(probs, v,
-                                 preferred_element_type=jnp.float32))
-    o = jnp.concatenate(head_outs, axis=-1)              # [rows, C]
-    o_ref[:] = o.astype(o_ref.dtype)
-    y = jnp.dot(o, proj_w_ref[:],
-                preferred_element_type=jnp.float32) + proj_b_ref[:]
-    out_ref[:] = y.astype(out_ref.dtype)
+    x2 = x_ref[:]                                        # [rows, C]
+    qkv_h = jnp.dot(x2, qkvw_ref[0],
+                    preferred_element_type=jnp.float32) + qkvb_ref[0]
+    qkv_ref[0] = qkv_h.astype(qkv_ref.dtype)             # [rows, 3d]
+    q = qkv_h[:, :d] * scale
+    k = qkv_h[:, d:2 * d]
+    v = qkv_h[:, 2 * d:]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    if use_mask:
+        scores = scores + offdiag_ref[:]
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs_ref[0, 0] = probs.astype(probs_ref.dtype)
+    ho = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    contrib = jnp.dot(ho, projw_ref[0],
+                      preferred_element_type=jnp.float32)  # [rows, C]
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[:] = contrib + projb_ref[:]
+
+    @pl.when(h != 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + contrib
+
+    @pl.when(h == num_heads - 1)
+    def _flush():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b):
     num_heads, scale, rows, c, t, n, interpret = static
-    grid = (x2.shape[0] // rows,)
+    d = c // num_heads
+    total = x2.shape[0]
+    grid = (total // rows, num_heads)   # heads iterate fastest
     # Constant block-diagonal mask restoring per-sequence locality when t
     # sequences share a tile, passed as an operand (pallas rejects captured
     # [rows, rows] constants); a zero matrix when t == 1.
@@ -304,6 +322,16 @@ def _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b):
                            np.ones((n, n), np.float32))) * -1e9)
     else:
         offdiag = jnp.zeros((rows, rows), jnp.float32)
+    # Head-major weight layouts: [H, C, 3d], [H, 3d], [H, d, C] — each
+    # head's grid step streams only its own slice through VMEM.
+    qkvw_hm = qkv_w.reshape(c, 3, num_heads, d).transpose(2, 0, 1, 3) \
+        .reshape(num_heads, c, 3 * d)
+    # [H, 1, 3d]: Mosaic requires the last two block dims divisible by
+    # (8, 128) or equal to the full array dims — a middle singleton makes
+    # the per-head bias block (1, 1, 3d) legal.
+    qkvb_hm = qkv_b.reshape(3, num_heads, d).transpose(1, 0, 2) \
+        .reshape(num_heads, 1, 3 * d)
+    projw_hm = proj_w.reshape(num_heads, d, c)
     kernel = functools.partial(
         _attn_train_kernel, num_heads=num_heads, scale=scale,
         rows=rows, c=c, use_mask=t > 1)
@@ -311,68 +339,71 @@ def _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b, proj_w, proj_b):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, c), lambda i: (i, 0),
+            pl.BlockSpec((rows, c), lambda i, h: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+            pl.BlockSpec((1, c, 3 * d), lambda i, h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, rows), lambda i: (0, 0),
+            pl.BlockSpec((1, 1, 3 * d), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, c), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, h: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, rows), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((rows, c), lambda i: (i, 0),
+            pl.BlockSpec((rows, c), lambda i, h: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 3 * c), lambda i: (i, 0),
+            pl.BlockSpec((1, rows, 3 * d), lambda i, h: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, c), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_heads, rows, rows), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, rows, rows), lambda i, h: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
-            jax.ShapeDtypeStruct((x2.shape[0], 3 * c), x2.dtype),
-            jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
-            jax.ShapeDtypeStruct((x2.shape[0] // rows, num_heads, rows,
-                                  rows), x2.dtype),
+            jax.ShapeDtypeStruct((total, c), x2.dtype),
+            jax.ShapeDtypeStruct((num_heads, total, 3 * d), x2.dtype),
+            jax.ShapeDtypeStruct((total // rows, num_heads, rows, rows),
+                                 x2.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((rows, c), jnp.float32)],
         interpret=interpret,
-    )(x2, qkv_w, qkv_b, proj_w, proj_b, offdiag)
+    )(x2, qkvw_hm, qkvb_hm, projw_hm, proj_b, offdiag)
 
 
 def _attn_train_fwd(static, x2, qkv_w, qkv_b, proj_w, proj_b):
-    out, qkv, o, probs = _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b,
+    out, qkv_hm, probs = _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b,
                                                 proj_w, proj_b)
-    return out, (x2, qkv, o, probs, qkv_w, proj_w)
+    return out, (x2, qkv_hm, probs, qkv_w, proj_w)
 
 
 def _attn_train_bwd(static, res, g):
     """bf16 operands, f32 accumulation — autodiff's cost/precision class —
-    consuming the forward kernel's saved qkv/o/probs (no recompute)."""
+    consuming the forward kernel's saved qkv/probs (no recompute; the
+    pre-projection context o is one cheap PV einsum away from them)."""
     num_heads, scale, rows, c, t, n, _ = static
-    x2, qkv, o, probs, qkv_w, proj_w = res
+    x2, qkv_hm, probs, qkv_w, proj_w = res
     gsteps = x2.shape[0] // rows
     d = c // num_heads
     f32 = jnp.float32
     dt = x2.dtype
 
+    # saved qkv is head-leading [H, total, 3d] (the kernel's block layout)
+    qkv5 = qkv_hm.reshape(num_heads, gsteps, rows, 3, d)
+    q = qkv5[..., 0, :].transpose(1, 2, 0, 3)            # [G, rows, h, d]
+    k = qkv5[..., 1, :].transpose(1, 2, 0, 3)
+    v = qkv5[..., 2, :].transpose(1, 2, 0, 3)
+    p = probs  # [G, h, rows, rows], x2 dtype
+    o3 = jnp.einsum("ghrs,gshd->grhd", p, v,
+                    preferred_element_type=f32).astype(dt) \
+        .reshape(gsteps, rows, c)
+
     g3 = g.reshape(gsteps, rows, c)
-    o3 = o.reshape(gsteps, rows, c)
     d_proj_w = jnp.einsum("grc,grk->ck", o3, g3,
                           preferred_element_type=f32)
     d_proj_b = jnp.sum(g3.astype(f32), (0, 1))
     do = jnp.einsum("grk,ck->grc", g3, proj_w,
                     preferred_element_type=f32).astype(dt)
     do = do.reshape(gsteps, rows, num_heads, d)
-
-    qkv3 = qkv.reshape(gsteps, rows, 3 * c)
-    q = qkv3[..., :c].reshape(gsteps, rows, num_heads, d)
-    k = qkv3[..., c:2 * c].reshape(gsteps, rows, num_heads, d)
-    v = qkv3[..., 2 * c:].reshape(gsteps, rows, num_heads, d)
-
-    p = probs  # [G, h, rows, rows], x2 dtype
     dp = jnp.einsum("grhd,gshd->ghrs", do, v, preferred_element_type=f32)
     dv = jnp.einsum("ghrs,grhd->gshd", p, do,
                     preferred_element_type=f32).astype(dt)
@@ -401,11 +432,11 @@ def _attn_train_bwd(static, res, g):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _attn_train_core(static, x2, qkv_w, qkv_b, proj_w, proj_b):
-    """Fused attention forward (Pallas, saving qkv/o/probs) with a
+    """Fused attention forward (Pallas, saving qkv/probs) with a
     saved-intermediates bf16 backward — the train-path counterpart of
     ``_fused_attn_core`` (whose recompute backward measured -29% on ViT)."""
-    out, _, _, _ = _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b,
-                                          proj_w, proj_b)
+    out, _, _ = _attn_train_fwd_pallas(static, x2, qkv_w, qkv_b,
+                                       proj_w, proj_b)
     return out
 
 
