@@ -113,8 +113,12 @@ def _bench_train(model, batch, h, w, c, n_windows=5, window=32):
     lr = jnp.float32(1e-3)
     tx = optim.make_direction(clip_norm=1.0)
     state = step_mod.TrainState.create(model, tx, x, jax.random.PRNGKey(0))
+    # donate=True matches the production Trainer step (state buffers are
+    # aliased in place); the chain below rebinds st each call, so donation
+    # is safe here.  (Measured neutral on this model — campaign_r4
+    # optstate_ab — but the headline should price the shipping program.)
     step = step_mod.make_train_step(model, losses.cce_smooth, tx,
-                                    augment=True, donate=False)
+                                    augment=True, donate=True)
 
     st, loss, _ = step(state, x, y, lr)
     float(loss)  # compile + sync

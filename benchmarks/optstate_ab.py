@@ -60,7 +60,7 @@ def build(model_name, batch, mu_dtype, donate):
     return state, step, x, y
 
 
-def time_variant(state, step, x, y):
+def _warm(state, step, x, y):
     import jax.numpy as jnp
     lr = jnp.float32(1e-3)
     st, loss, _ = step(state, x, y, lr)
@@ -68,14 +68,21 @@ def time_variant(state, step, x, y):
     for _ in range(3):
         st, loss, _ = step(st, x, y, lr)
     float(loss)
-    best = float("inf")
-    for _ in range(N_WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(WINDOW):
-            st, loss, _ = step(st, x, y, lr)
-        float(loss)
-        best = min(best, (time.perf_counter() - t0) / WINDOW)
-    return best * 1e3
+    return st
+
+
+def time_one_window(state, step, x, y):
+    """Returns (evolved_state, seconds/step).  The caller must thread the
+    evolved state into the next window: donate=True variants alias the
+    input buffers, so a consumed TrainState cannot be reused."""
+    import jax.numpy as jnp
+    lr = jnp.float32(1e-3)
+    st = state
+    t0 = time.perf_counter()
+    for _ in range(WINDOW):
+        st, loss, _ = step(st, x, y, lr)
+    float(loss)
+    return st, (time.perf_counter() - t0) / WINDOW
 
 
 def trajectory(state, step, x, y, n=30):
@@ -107,11 +114,19 @@ def main():
         }
         n_params = sum(int(np.prod(p.shape)) for p in
                        jax.tree_util.tree_leaves(variants["f32mu_nodonate"][0].params))
-        # interleave windows across variants (each time_variant call is
-        # internally best-of-6 windows; call order rotated to cancel drift)
-        res = {}
+        # TRUE interleaving: one timing window per variant per round, so a
+        # monotonic tunnel/thermal drift hits every variant equally (the
+        # first run of this harness timed each variant's 6 windows in one
+        # sequential block, which confounds later variants with drift).
+        res, states = {}, {}
         for name, (state, step, x, y) in variants.items():
-            res[name] = round(time_variant(state, step, x, y), 3)
+            states[name] = _warm(state, step, x, y)
+            res[name] = float("inf")
+        for _ in range(N_WINDOWS):
+            for name, (_, step, x, y) in variants.items():
+                states[name], dt = time_one_window(states[name], step, x, y)
+                res[name] = min(res[name], dt)
+        res = {k: round(v * 1e3, 3) for k, v in res.items()}
         out = {"model": args.model, "batch": batch, "n_params": n_params,
                **{f"{k}_ms": v for k, v in res.items()}}
         if not args.skip_traj and batch == 64:

@@ -42,9 +42,16 @@ def evict(path):
     this harness recorded a 934 MB/s "cold" leg on a 76 MB/s random-read
     disk that way).  So: fsync first (force writeback -> pages clean),
     fadvise, and — when running as root — drop_caches as belt-and-braces."""
-    fd = os.open(path, os.O_RDWR)
     try:
-        os.fsync(fd)
+        fd = os.open(path, os.O_RDWR)
+    except PermissionError:
+        # e.g. root-generated shard, later non-root run: fsync needs write
+        # access but is only essential right after generation (dirty pages);
+        # fall back to read-only fadvise.
+        fd = os.open(path, os.O_RDONLY)
+    try:
+        if os.access(path, os.W_OK):
+            os.fsync(fd)
         os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
     finally:
         os.close(fd)
@@ -83,6 +90,13 @@ def bench_gather(path, n_rows, n_gather=2048):
     # (the first run of this table read 1.8 GB/s "cold" mmap on rows the
     # native leg had just pulled twice).  Disjoint sets at 8 GB scale keep
     # each cold leg on rows last touched at generation time.
+    # Two loader configs need two DISJOINT sets: shrink n_gather for small
+    # shards rather than silently under-filling the second slice (an empty
+    # slice times 64 zero-row gathers and reports absurd GB/s figures —
+    # the exact artifact class this harness exists to eliminate).
+    n_gather = min(n_gather, n_rows // 2)
+    n_gather -= n_gather % BATCH
+    assert n_gather > 0, f"shard too small to gather-bench ({n_rows} rows)"
     perm = np.random.default_rng(1).permutation(n_rows).astype(np.int64)
     out = {}
 

@@ -160,6 +160,19 @@ def cmd_train(args):
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
+    if (cfg.model.attn_train_impl == "pallas"
+            and ((args.n_devices and args.n_devices > 1) or tp > 1
+                 or pp > 1)):
+        # Same constraint on the train-path kernel: pallas_call has no
+        # GSPMD partitioning rule, so under a mesh it would replicate (or
+        # fail to partition) the attention activations.  The combination is
+        # untested — fall back to the composed path rather than ship it.
+        import dataclasses as dc
+        print("WARNING: --attn-train pallas is single-device only; using "
+              "the composed XLA train attention under "
+              "--n-devices/--tp/--pp.", flush=True)
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model, attn_train_impl="xla"))
     if pp > 1 and not cfg.model.remat:
         # GPipe backward saves activations for all m + P - 1 schedule steps
         # on every stage; per-layer remat is what delivers the module's

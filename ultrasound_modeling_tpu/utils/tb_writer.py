@@ -112,7 +112,14 @@ def png_encode(arr) -> bytes:
     import numpy as np
     import zlib
 
-    a = np.ascontiguousarray(arr, dtype="uint8")
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        # A float panel in [0, 1] would truncate to all-0/1 and render as a
+        # black image with no error — refuse instead of silently degrading.
+        raise TypeError(
+            f"png_encode expects uint8 pixels, got {a.dtype}; scale/cast "
+            "explicitly (e.g. (x * 255).astype('uint8'))")
+    a = np.ascontiguousarray(a)
     if a.ndim == 2:
         a = a[..., None]
     h, w, c = a.shape
