@@ -13,8 +13,11 @@ backward in bf16 einsums — autodiff's cost class.
 Also prints a 20-step loss-trajectory max-delta (same init/data) tying the
 speed number to a training-equivalence envelope in the same session.
 
+Round 5 adds --impls (default xla,pallas): 'flash' A/Bs the LSE-saving
+attention core (ops/pallas_kernels.flash_mha) against the composed path.
+
 Run (TPU): python benchmarks/attn_train_ab.py [--models vit,transunet]
-                                              [--batches 128]
+                                              [--batches 128] [--impls xla,flash]
 """
 
 import argparse
@@ -74,32 +77,35 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="vit,transunet")
     ap.add_argument("--batches", default="128")
+    ap.add_argument("--impls", default="xla,pallas",
+                    help="two attn_train_impl values to interleave (A,B)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     for name in args.models.split(","):
         for batch in (int(b) for b in args.batches.split(",")):
-            xla = build(name, batch, "xla")
-            pls = build(name, batch, "pallas")
+            impl_a, impl_b = args.impls.split(",")
+            xla = build(name, batch, impl_a)
+            pls = build(name, batch, impl_b)
             # compile + warm both
             for st0, step, x, y in (xla, pls):
                 _, loss = run_window(st0, step, x, y, 4)
                 float(loss)
-            best = {"xla": float("inf"), "pallas": float("inf")}
+            best = {impl_a: float("inf"), impl_b: float("inf")}
             # interleave windows to cancel tunnel drift
             for _ in range(N_WINDOWS):
-                for key, (st0, step, x, y) in (("xla", xla),
-                                               ("pallas", pls)):
+                for key, (st0, step, x, y) in ((impl_a, xla),
+                                               (impl_b, pls)):
                     t0 = time.perf_counter()
                     _, loss = run_window(st0, step, x, y, WINDOW)
                     float(loss)
                     best[key] = min(best[key],
                                     (time.perf_counter() - t0) / WINDOW)
             out = {"model": name, "batch": batch,
-                   "xla_ms": round(best["xla"] * 1e3, 3),
-                   "pallas_ms": round(best["pallas"] * 1e3, 3),
-                   "speedup_pct": round(100 * (best["xla"] / best["pallas"]
+                   f"{impl_a}_ms": round(best[impl_a] * 1e3, 3),
+                   f"{impl_b}_ms": round(best[impl_b] * 1e3, 3),
+                   "speedup_pct": round(100 * (best[impl_a] / best[impl_b]
                                                - 1), 1)}
             # 20-step trajectory parity from identical init
             lr = jnp.float32(1e-3)

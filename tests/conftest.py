@@ -54,6 +54,7 @@ SLOW_MODULES = {
     "test_crosschecks",     # TF reference builds (gated on RUN_CROSSCHECKS)
     "test_journey",         # full .mat -> etl -> train -> infer chain
     "test_parity_pins",     # 5 family init+forward vs committed goldens
+    "test_distributed",     # real 2-process coordinator run (CPU compiles)
 }
 
 

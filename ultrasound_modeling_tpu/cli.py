@@ -65,10 +65,13 @@ def _add_common(p):
                         "decoder blocks): trades idle MXU FLOPs for HBM "
                         "bytes in the bandwidth-bound train step")
     p.add_argument("--attn-train", default=None,
-                   choices=("auto", "xla", "pallas"),
+                   choices=("auto", "xla", "pallas", "flash"),
                    help="train-path attention kernel for transunet/vit: "
                         "'pallas' = fused forward saving qkv/context/probs "
                         "for a bf16 hand-written backward (no recompute); "
+                        "'flash' = fused attention CORE saving only softmax "
+                        "LSE, probs recomputed tile-wise in a Pallas "
+                        "backward (projections stay XLA GEMMs); "
                         "default keeps the composed-XLA autodiff path")
     p.add_argument("--adam-mu-bf16", action="store_true",
                    help="store the Adam first moment in bfloat16 (shrinks "
@@ -161,19 +164,19 @@ def cmd_train(args):
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
     from ultrasound_modeling_tpu.models.common import resolve_attn_impl
-    if (resolve_attn_impl(cfg.model.attn_train_impl) == "pallas"
+    if (resolve_attn_impl(cfg.model.attn_train_impl) in ("pallas", "flash")
             and ((args.n_devices and args.n_devices > 1) or tp > 1
                  or pp > 1)):
         # Resolve BEFORE the gate: '--attn-train auto' becomes 'pallas' on
         # TPU, and comparing the literal string would let that combination
         # slip past (ADVICE r4 medium).
-        # Same constraint on the train-path kernel: pallas_call has no
+        # Same constraint on the train-path kernels: pallas_call has no
         # GSPMD partitioning rule, so under a mesh it would replicate (or
         # fail to partition) the attention activations.  The combination is
         # untested — fall back to the composed path rather than ship it.
         import dataclasses as dc
-        print("WARNING: --attn-train pallas is single-device only; using "
-              "the composed XLA train attention under "
+        print("WARNING: --attn-train pallas/flash is single-device only; "
+              "using the composed XLA train attention under "
               "--n-devices/--tp/--pp.", flush=True)
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_train_impl="xla"))

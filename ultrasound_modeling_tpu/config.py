@@ -101,9 +101,12 @@ class ModelConfig:
     # Global-attention impl for transunet/vit ('auto' | 'xla' | 'pallas').
     attn_impl: str = "auto"
     # TRAIN-path attention kernel for transunet/vit ('xla' | 'pallas' |
-    # 'auto'): 'pallas' = fused forward that saves qkv/context/probs for a
-    # hand-written bf16 backward (ops/pallas_kernels.attention_train_fused).
-    # Default 'xla' (composed autodiff) pending the measured A/B.
+    # 'flash' | 'auto'): 'pallas' = fused forward that saves qkv/context/
+    # probs for a hand-written bf16 backward (ops/pallas_kernels
+    # .attention_train_fused; measured -11.2% on vit — saved-tensor
+    # relayouts); 'flash' = LSE-only-saving attention core with a Pallas
+    # backward (ops/pallas_kernels.flash_mha).  Default 'xla' (composed
+    # autodiff) pending each variant's measured A/B.
     attn_train_impl: str = "xla"
     drop_path_rate: float = 0.1
     dropout_rate: float = 0.0

@@ -57,12 +57,14 @@ def resolve_attn_impl(impl: str) -> str:
     path instead of silently degrading to XLA."""
     if impl == "auto":
         return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if impl not in ("xla", "pallas"):
+    if impl not in ("xla", "pallas", "flash"):
         # A typo ('palas') would otherwise silently degrade to the
         # composed-XLA path — the same silent-degradation class the 'auto'
-        # resolution fix closed.
+        # resolution fix closed.  'flash' is the train-path LSE-saving
+        # attention core (ops/pallas_kernels.flash_mha) — only meaningful
+        # for attn_train_impl.
         raise ValueError(f"unknown attn_impl {impl!r}; "
-                         "expected 'auto', 'xla' or 'pallas'")
+                         "expected 'auto', 'xla', 'pallas' or 'flash'")
     return impl
 
 

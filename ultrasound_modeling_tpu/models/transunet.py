@@ -98,6 +98,16 @@ class Attention(nn.Module):
             qkv_b = jnp.concatenate([bq, bk, bv])
             out = pk.attention_train_fused(x, qkv_w, qkv_b, wo, bo,
                                            self.num_heads, scale=scale)
+        elif train and resolve_attn_impl(self.attn_train_impl) == "flash":
+            # LSE-saving attention core (VERDICT r4 next #2): projections
+            # stay XLA GEMMs (autodiff saves x/qkv in natural layouts), only
+            # scores->softmax->PV is fused, and the backward recomputes
+            # probs from the saved per-row LSE with ds/dp VMEM-resident.
+            from ultrasound_modeling_tpu.ops import pallas_kernels as pk
+            qkv = x @ jnp.concatenate([wq, wk, wv], axis=1) \
+                + jnp.concatenate([bq, bk, bv])
+            ctx = pk.flash_mha(qkv, self.num_heads, scale=scale)
+            out = ctx @ wo + bo
         else:
             q = x @ wq + bq
             k = x @ wk + bk

@@ -479,6 +479,202 @@ def attention_train_fused(x: jnp.ndarray, qkv_w: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Flash-style attention CORE for the train path (LSE-saving backward)
+# ---------------------------------------------------------------------------
+#
+# Round-4's attention_train_fused fused the whole projection chain and saved
+# qkv head-major + probs from the forward; the measured -11.2% came from the
+# BACKWARD's saved-tensor relayouts (head-major [H, B*N, 3d] qkv and
+# [G, H, rows, rows] probs re-transposed by XLA einsums).  This variant is
+# the named round-5 mechanism (VERDICT r4 next #2): fuse ONLY the attention
+# core (scores -> softmax -> PV), leave the qkv/out projections to XLA
+# autodiff (plain GEMMs it already schedules optimally, saving x and qkv in
+# their natural [B, N, C] layouts), and save from the forward ONLY the
+# per-row log-sum-exp ([B, heads, N] f32 — ~0.7 MB at ViT b128 vs the 105 MB
+# f32 probs the composed path materializes).  The backward is a second
+# Pallas kernel: probs are recomputed tile-wise as exp(scores - lse) and the
+# dp/ds tiles stay VMEM-resident — no probs round-trip, no relayouts,
+# packed-qkv in / packed-dqkv out so XLA never slices the operands either.
+# The reference sequences are short (80/160 tokens: VisionTransformer.py:9,
+# TBI_Transformer.py:50), so a whole row of scores fits VMEM and no KV-tile
+# running-max loop is needed — "flash" here means the LSE-only save.
+
+
+def _flash_core_fwd_kernel(qkv_ref, offdiag_ref, out_ref, lse_ref, *,
+                           num_heads: int, scale: float, c: int,
+                           use_mask: bool):
+    d = c // num_heads
+    qkv = qkv_ref[:]                                     # [rows, 3C]
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        if use_mask:
+            s = s + offdiag_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        lse_ref[0, h] = (m + jnp.log(den))[:, 0]
+        p = (e / den).astype(qkv.dtype)  # composed path casts probs too
+        outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+    out_ref[:] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+
+
+def _flash_core_bwd_kernel(qkv_ref, lse_ref, g_ref, offdiag_ref, dqkv_ref, *,
+                           num_heads: int, scale: float, c: int,
+                           use_mask: bool):
+    d = c // num_heads
+    f32 = jnp.float32
+    qkv = qkv_ref[:]                                     # [rows, 3C]
+    g = g_ref[:]                                         # [rows, C]
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=f32) * scale
+        if use_mask:
+            s = s + offdiag_ref[:]
+        # exp(s - lse) == softmax(s) bit-for-bit up to fp rounding; masked
+        # (-1e9) entries underflow to exactly 0.
+        p = jnp.exp(s - lse_ref[0, h][:, None])          # [rows, rows] f32
+        go = g[:, h * d:(h + 1) * d]                     # [rows, d]
+        dp = jax.lax.dot_general(
+            go, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                  # [rows, rows]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(qkv.dtype)
+        dqs.append(jnp.dot(ds, k, preferred_element_type=f32))
+        dks.append(jax.lax.dot_general(                  # ds^T . q
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))
+        dvs.append(jax.lax.dot_general(                  # p^T . go
+            p.astype(qkv.dtype), go, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))
+    dqkv_ref[:] = jnp.concatenate(
+        [jnp.concatenate(dqs, axis=-1), jnp.concatenate(dks, axis=-1),
+         jnp.concatenate(dvs, axis=-1)], axis=-1).astype(dqkv_ref.dtype)
+
+
+def _flash_offdiag(t: int, n: int):
+    if t > 1:
+        return jnp.asarray(
+            (1.0 - np.kron(np.eye(t, dtype=np.float32),
+                           np.ones((n, n), np.float32))) * -1e9)
+    return jnp.zeros((n, n), jnp.float32)
+
+
+def _flash_fwd_pallas(static, qkv2):
+    num_heads, scale, rows, c, t, n, interpret = static
+    total = qkv2.shape[0]
+    grid = (total // rows,)
+    kernel = functools.partial(
+        _flash_core_fwd_kernel, num_heads=num_heads, scale=scale, c=c,
+        use_mask=t > 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 3 * c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((total, c), qkv2.dtype),
+            jax.ShapeDtypeStruct((total // rows, num_heads, rows),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv2, _flash_offdiag(t, rows // t))
+
+
+def _flash_bwd_pallas(static, qkv2, lse, g2):
+    num_heads, scale, rows, c, t, n, interpret = static
+    total = qkv2.shape[0]
+    grid = (total // rows,)
+    kernel = functools.partial(
+        _flash_core_bwd_kernel, num_heads=num_heads, scale=scale, c=c,
+        use_mask=t > 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 3 * c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 3 * c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, 3 * c), qkv2.dtype),
+        interpret=interpret,
+    )(qkv2, lse, g2, _flash_offdiag(t, rows // t))
+
+
+def _flash_core_fwd(static, qkv2):
+    out, lse = _flash_fwd_pallas(static, qkv2)
+    return out, (qkv2, lse)
+
+
+def _flash_core_bwd(static, res, g):
+    qkv2, lse = res
+    dqkv = _flash_bwd_pallas(static, qkv2, lse,
+                             g.astype(qkv2.dtype))
+    return (dqkv,)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(static, qkv2):
+    out, _ = _flash_fwd_pallas(static, qkv2)
+    return out
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_mha(qkv: jnp.ndarray, num_heads: int, scale: float,
+              seqs_per_step: Optional[int] = None,
+              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Differentiable fused attention core over packed projections.
+
+    ``qkv`` is ``[B, N, 3C]`` laid out ``[q | k | v]`` (each C wide, heads
+    d-sliced within); returns the pre-output-projection context ``[B, N, C]``.
+    Saves only the per-row LSE for the backward (flash-style); grads flow to
+    ``qkv`` and from there through XLA's own autodiff of the projections.
+    ``scale`` is explicit (the reference uses 1/sqrt(num_heads) —
+    reference: VisionTransformer.py:42)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    interpret = (not _on_tpu()) if interpret is None else interpret
+    if seqs_per_step:
+        if b % seqs_per_step:
+            raise ValueError(
+                f"seqs_per_step={seqs_per_step} does not divide batch {b}")
+        t = seqs_per_step
+    else:
+        t = max(1, 256 // n)
+        while b % t:
+            t -= 1
+    rows = t * n
+    static = (num_heads, float(scale), rows, c, t, n, bool(interpret))
+    out = _flash_core(static, qkv.reshape(b * n, 3 * c))
+    return out.reshape(b, n, c)
+
+
+# ---------------------------------------------------------------------------
 # Fused transformer block (inference)
 # ---------------------------------------------------------------------------
 #

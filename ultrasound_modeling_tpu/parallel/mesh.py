@@ -102,8 +102,19 @@ def shard_batch_spatial(mesh: Mesh, *arrays):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params / opt state) across the mesh."""
+    """Replicate a pytree (params / opt state) across the mesh.
+
+    Multi-process: ``device_put`` cannot target the other hosts'
+    (non-addressable) devices, but every process computes the same host
+    value (same init seed — the Trainer's contract, train/loop.py), so the
+    fully-replicated global array is assembled from each process's local
+    copy instead (exercised by tests/test_distributed.py's real 2-process
+    run; the reference's abandoned multi-worker intent: TBI_ResNest.py:6)."""
     s = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                s, np.asarray(a)), tree)
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
 
 
