@@ -163,8 +163,9 @@ def cmd_train(args):
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_impl="xla", swin_attn_impl="xla"))
-    from ultrasound_modeling_tpu.models.common import resolve_attn_impl
-    if (resolve_attn_impl(cfg.model.attn_train_impl) in ("pallas", "flash")
+    from ultrasound_modeling_tpu.models.common import (
+        resolve_attn_train_impl)
+    if (resolve_attn_train_impl(cfg.model.attn_train_impl) in ("pallas", "flash")
             and ((args.n_devices and args.n_devices > 1) or tp > 1
                  or pp > 1)):
         # Resolve BEFORE the gate: '--attn-train auto' becomes 'pallas' on

@@ -233,6 +233,11 @@ def default_config(model_name: str = "transunet", **overrides) -> Config:
             train, batch_size=64, learning_rate=5e-3, loss="class_balanced",
             eval_every_epochs=3, epochs=46)
     elif model_name == "vit":
+        # attn_train_impl 'auto' -> the flash (LSE-saving) train attention
+        # on TPU: measured +24.6% (b128) / +16.7% (b64) full-step win for
+        # the 160-token pure ViT (BASELINE.md round 5); transunet stays
+        # 'xla' (measured neutral, -0.1%/-0.6% — conv-dominated step).
+        model = dataclasses.replace(model, attn_train_impl="auto")
         train = dataclasses.replace(train, batch_size=8, learning_rate=1e-3,
                                     l2_regularization=1e-5)
     elif model_name == "swin":

@@ -68,6 +68,18 @@ def resolve_attn_impl(impl: str) -> str:
     return impl
 
 
+def resolve_attn_train_impl(impl: str) -> str:
+    """Resolve the TRAIN-path attention impl.  'auto' -> the LSE-saving
+    flash core on TPU (measured vit train step +24.6% at b128 / +16.7% at
+    b64, BASELINE.md round 5), composed XLA elsewhere (off-TPU the Pallas
+    kernels run interpret mode — orders of magnitude slower).  Explicit
+    'flash'/'pallas' are honored everywhere (interpret mode on CPU, as the
+    parity tests use)."""
+    if impl == "auto":
+        return "flash" if jax.devices()[0].platform == "tpu" else "xla"
+    return resolve_attn_impl(impl)
+
+
 def activation(kind: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if kind == "leaky":
         return lambda x: nn.leaky_relu(x, negative_slope=LEAKY_ALPHA)

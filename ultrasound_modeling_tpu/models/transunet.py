@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ultrasound_modeling_tpu.models.common import (
     Norm, activation, compute_dtype, conv, conv_transpose, dense,
-    resolve_attn_impl)
+    resolve_attn_impl, resolve_attn_train_impl)
 from ultrasound_modeling_tpu.models.resnest import ResNeStEncoder
 from ultrasound_modeling_tpu.ops.attention import mha
 
@@ -92,13 +92,13 @@ class Attention(nn.Module):
             out = pk.window_attention_fused(
                 x, qkv_w, qkv_b, wo, bo, zero_bias, zero_index,
                 self.num_heads, scale=scale, windows_per_step=t)
-        elif train and resolve_attn_impl(self.attn_train_impl) == "pallas":
+        elif train and resolve_attn_train_impl(self.attn_train_impl) == "pallas":
             from ultrasound_modeling_tpu.ops import pallas_kernels as pk
             qkv_w = jnp.concatenate([wq, wk, wv], axis=1)
             qkv_b = jnp.concatenate([bq, bk, bv])
             out = pk.attention_train_fused(x, qkv_w, qkv_b, wo, bo,
                                            self.num_heads, scale=scale)
-        elif train and resolve_attn_impl(self.attn_train_impl) == "flash":
+        elif train and resolve_attn_train_impl(self.attn_train_impl) == "flash":
             # LSE-saving attention core (VERDICT r4 next #2): projections
             # stay XLA GEMMs (autodiff saves x/qkv in natural layouts), only
             # scores->softmax->PV is fused, and the backward recomputes
