@@ -42,18 +42,43 @@ def main():
 
     from ultrasound_modeling_tpu.utils import jaxcache  # noqa: F401
 
-    losses = run_trainer_epochs()
+    losses = run_trainer_epochs(lockstep=True)
     with open(outfile, "w") as fh:
         json.dump({"process_id": pid, "losses": losses,
                    "n_global_devices": len(jax.devices())}, fh)
+    # Completion barrier through the COORDINATION SERVICE (not a gloo
+    # collective) + explicit shutdown: on a 1-core host the two workers'
+    # host threads can skew by minutes, past both the gloo KV 30 s timeout
+    # and the exit-time shutdown barrier (both observed).
+    _coord_barrier("worker_done")
+    jax.distributed.shutdown()
 
 
-def run_trainer_epochs(n_epochs: int = 3):
+def _coord_barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Barrier via the coordinator's KV service — usable while the hosts
+    are arbitrarily skewed, unlike gloo collectives (30 s hard timeout)."""
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
+def run_trainer_epochs(n_epochs: int = 3, lockstep: bool = False):
     """Build the tiny DP Trainer every process runs identically (same seeds,
     same synthetic data) and return its per-epoch losses.  The single-process
     reference in test_distributed.py calls this SAME function on its own
-    8-device runtime, so the comparison is definitionally like-for-like."""
+    8-device runtime, so the comparison is definitionally like-for-like.
+
+    ``lockstep`` (multi-process only): the first executed global program
+    triggers gloo cross-process context init, which aborts unless every
+    process enqueues within its hard 30 s KV timeout — but on a 1-core host
+    the workers' tracing phases serialize, skewing the hosts by minutes
+    (measured failure mode).  So each worker AOT-compiles the step, meets
+    the others at a coordination-service barrier (which tolerates arbitrary
+    skew), and only then executes — the compiled object directly, so no
+    re-trace reopens the gap."""
     import dataclasses as dc
+
+    import jax.numpy as jnp
 
     from ultrasound_modeling_tpu.config import default_config
     from ultrasound_modeling_tpu.data.pipeline import Dataset
@@ -73,6 +98,14 @@ def run_trainer_epochs(n_epochs: int = 3):
                            n_disp=4)
     mesh = mesh_mod.make_mesh(n_data=8)
     trainer = Trainer(cfg, ds, mesh=mesh)
+    if lockstep:
+        x, y, _ = ds.next_train(cfg.train.batch_size, fix=True)
+        xp, yp = trainer._place_batch(x, y)
+        compiled = trainer.train_step.lower(
+            trainer.state, xp, yp,
+            jnp.float32(trainer.current_lr())).compile()
+        trainer.train_step = compiled
+        _coord_barrier("step_compiled")
     losses = []
     for epoch in range(1, 1 + n_epochs):
         out = trainer.train_epoch(epoch)
