@@ -168,17 +168,20 @@ def cmd_train(args):
     if (resolve_attn_train_impl(cfg.model.attn_train_impl) in ("pallas", "flash")
             and ((args.n_devices and args.n_devices > 1) or tp > 1
                  or pp > 1)):
-        # Resolve BEFORE the gate: '--attn-train auto' becomes 'pallas' on
+        # Resolve BEFORE the gate: '--attn-train auto' becomes 'flash' on
         # TPU, and comparing the literal string would let that combination
         # slip past (ADVICE r4 medium).
         # Same constraint on the train-path kernels: pallas_call has no
         # GSPMD partitioning rule, so under a mesh it would replicate (or
         # fail to partition) the attention activations.  The combination is
         # untested — fall back to the composed path rather than ship it.
+        # An EXPLICIT kernel request gets a warning; the 'auto' default
+        # resolves quietly (nothing the user asked for is being overridden).
         import dataclasses as dc
-        print("WARNING: --attn-train pallas/flash is single-device only; "
-              "using the composed XLA train attention under "
-              "--n-devices/--tp/--pp.", flush=True)
+        if cfg.model.attn_train_impl != "auto":
+            print("WARNING: --attn-train pallas/flash is single-device "
+                  "only; using the composed XLA train attention under "
+                  "--n-devices/--tp/--pp.", flush=True)
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, attn_train_impl="xla"))
     if pp > 1 and not cfg.model.remat:
