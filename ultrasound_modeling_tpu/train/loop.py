@@ -58,6 +58,20 @@ class Trainer:
         has_pipe = mesh is not None and mesh.shape.get("pipe", 1) > 1
         use_pp = has_pipe or (parallel == "pp" and mesh is not None
                               and mesh.shape.get("model", 1) > 1)
+        if mesh is not None and model is None:
+            # The train-path Pallas attention kernels (pallas/flash) are
+            # single-device programs with no GSPMD partitioning rule; under
+            # a mesh the composed XLA path is the only sharded one.  The CLI
+            # gates this too, but direct Trainer users (and dryrun/multihost
+            # entries) must get the same guarantee here, where the model is
+            # actually built.
+            from ultrasound_modeling_tpu.models.common import (
+                resolve_attn_train_impl)
+            if resolve_attn_train_impl(cfg.model.attn_train_impl) != "xla":
+                import dataclasses as _dc
+                cfg = _dc.replace(cfg, model=_dc.replace(
+                    cfg.model, attn_train_impl="xla"))
+                self.cfg = cfg
         if model is None:
             model = build_model(cfg.model, pp_mesh=mesh if use_pp else None,
                                 pp_micro=pp_micro)
