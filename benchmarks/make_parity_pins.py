@@ -21,16 +21,22 @@ Run:  python benchmarks/make_parity_pins.py
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
+def _setup_backend():
+    """Pin the suite's environment (CPU, 8 virtual devices) — called from
+    __main__ ONLY.  Importing this module must stay side-effect-free:
+    tests/test_parity_pins.py imports it inside the live pytest process,
+    where conftest.py already configured the backend and a late
+    env/config mutation would be silently ineffective."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    jax.config.update("jax_platforms", "cpu")
 
 
 def model_cases():
@@ -88,4 +94,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _setup_backend()
     main()

@@ -29,3 +29,4 @@ for f in tests/test_*.py; do
 done
 T1=$(date +%s)
 echo "TOTAL wall=$((T1 - T0))s fail=$FAIL" | tee -a "$LOG"
+exit $FAIL

@@ -71,29 +71,39 @@ def test_two_process_dp_training(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "distributed_worker.py")
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     env = dict(os.environ)
     env.pop("JAX_COORDINATOR_ADDRESS", None)
-    procs, outs = [], []
-    for pid in range(2):
-        out = str(tmp_path / f"worker{pid}.json")
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), out],
-            env=env, cwd=repo, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    tails = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=840)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        tails.append(stdout[-2000:])
+
+    def launch(attempt):
+        # bind-then-close port picking is TOCTOU-racy on shared boxes; the
+        # coordinator may find the port taken -> both workers die without
+        # result files.  One retry with a fresh port removes the race.
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = [], []
+        for pid in range(2):
+            out = str(tmp_path / f"worker{pid}_try{attempt}.json")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port), out],
+                env=env, cwd=repo, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        tails = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=840)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            tails.append(stdout[-2000:])
+        return procs, outs, tails
+
+    for attempt in range(2):
+        procs, outs, tails = launch(attempt)
+        if all(os.path.exists(o) for o in outs):
+            break
     # The evidence of record is the written results; a nonzero exit with
     # BOTH result files present can only be teardown noise (the workers
     # write results before the completion barrier), so the returncode

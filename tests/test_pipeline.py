@@ -88,6 +88,13 @@ def test_out_of_core_loader_is_core_count_aware(monkeypatch, capsys):
 
     from ultrasound_modeling_tpu.train import loop as loop_mod
 
+    monkeypatch.setattr(loop_mod.os, "sched_getaffinity", lambda pid: {0})
+    assert not loop_mod.overlap_out_of_core()
+    monkeypatch.setattr(loop_mod.os, "sched_getaffinity",
+                        lambda pid: {0, 1, 2, 3})
+    assert loop_mod.overlap_out_of_core()
+    # non-Linux fallback: no sched_getaffinity -> cpu_count
+    monkeypatch.delattr(loop_mod.os, "sched_getaffinity")
     monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 1)
     assert not loop_mod.overlap_out_of_core()
     monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 4)
@@ -121,16 +128,24 @@ def test_out_of_core_loader_is_core_count_aware(monkeypatch, capsys):
         return state, np.float32(0.5), None
 
     t.train_step = fake_step
-    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 1)
+    monkeypatch.setattr(loop_mod.os, "sched_getaffinity",
+                        lambda pid: {0}, raising=False)
     out = loop_mod.Trainer._train_epoch_cursor(t, epoch=0)
-    assert "synchronous (1 host core" in capsys.readouterr().out
+    assert "synchronous (1 available core" in capsys.readouterr().out
     assert out["iters"] == 2 and len(seen) == 2
     np.testing.assert_array_equal(seen[0], np.asarray(ds.x_tr[:4]))
+
+    # The announcement prints once, not per epoch.
+    ds.reset_idx()
+    loop_mod.Trainer._train_epoch_cursor(t, epoch=1)
+    assert "out-of-core loader" not in capsys.readouterr().out
 
     # >=2 cores: the overlapped path is chosen and delivers the same epoch.
     ds.reset_idx()
     seen.clear()
-    monkeypatch.setattr(loop_mod.os, "cpu_count", lambda: 4)
+    t._ooc_mode_announced = False
+    monkeypatch.setattr(loop_mod.os, "sched_getaffinity",
+                        lambda pid: {0, 1, 2, 3}, raising=False)
     out = loop_mod.Trainer._train_epoch_cursor(t, epoch=0)
     assert "overlapped" in capsys.readouterr().out
     assert out["iters"] == 2 and len(seen) == 2

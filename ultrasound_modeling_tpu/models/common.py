@@ -57,14 +57,15 @@ def resolve_attn_impl(impl: str) -> str:
     path instead of silently degrading to XLA."""
     if impl == "auto":
         return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if impl not in ("xla", "pallas", "flash"):
+    if impl not in ("xla", "pallas"):
         # A typo ('palas') would otherwise silently degrade to the
         # composed-XLA path — the same silent-degradation class the 'auto'
-        # resolution fix closed.  'flash' is the train-path LSE-saving
-        # attention core (ops/pallas_kernels.flash_mha) — only meaningful
-        # for attn_train_impl.
+        # resolution fix closed.  'flash' is deliberately NOT accepted
+        # here: it is the train-path LSE-saving core (flash_mha), and no
+        # inference consumer implements it — validating it would silently
+        # disable the fused eval kernels (use attn_train_impl instead).
         raise ValueError(f"unknown attn_impl {impl!r}; "
-                         "expected 'auto', 'xla', 'pallas' or 'flash'")
+                         "expected 'auto', 'xla' or 'pallas'")
     return impl
 
 
@@ -77,7 +78,10 @@ def resolve_attn_train_impl(impl: str) -> str:
     parity tests use)."""
     if impl == "auto":
         return "flash" if jax.devices()[0].platform == "tpu" else "xla"
-    return resolve_attn_impl(impl)
+    if impl not in ("xla", "pallas", "flash"):
+        raise ValueError(f"unknown attn_train_impl {impl!r}; "
+                         "expected 'auto', 'xla', 'pallas' or 'flash'")
+    return impl
 
 
 def activation(kind: str) -> Callable[[jnp.ndarray], jnp.ndarray]:

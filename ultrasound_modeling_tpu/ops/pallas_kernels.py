@@ -459,23 +459,30 @@ def attention_train_fused(x: jnp.ndarray, qkv_w: jnp.ndarray,
     if scale is None:
         scale = d ** -0.5
     interpret = (not _on_tpu()) if interpret is None else interpret
-    if seqs_per_step:
-        # An explicit packing request must be honored exactly — silently
-        # shrinking it would change the measured kernel shape (ADVICE r4).
-        if b % seqs_per_step:
-            raise ValueError(
-                f"seqs_per_step={seqs_per_step} does not divide batch {b}; "
-                "pass a divisor or omit it for the auto choice")
-        t = seqs_per_step
-    else:
-        t = max(1, 256 // n)
-        while b % t:
-            t -= 1
+    t = _pick_seqs_per_step(b, n, seqs_per_step)
     rows = t * n
     static = (num_heads, float(scale), rows, c, t, n, bool(interpret))
     out = _attn_train_core(static, x.reshape(b * n, c), qkv_w, qkv_b,
                            proj_w, proj_b)
     return out.reshape(b, n, c)
+
+
+def _pick_seqs_per_step(b: int, n: int,
+                        seqs_per_step: Optional[int]) -> int:
+    """Sequences packed per grid step.  An explicit request must be honored
+    exactly — silently shrinking it would change the measured kernel shape
+    (ADVICE r4) — so a non-divisor raises; the auto choice fills the MXU's
+    sublane tiles (~256 rows) with the largest divisor of the batch."""
+    if seqs_per_step:
+        if b % seqs_per_step:
+            raise ValueError(
+                f"seqs_per_step={seqs_per_step} does not divide batch {b}; "
+                "pass a divisor or omit it for the auto choice")
+        return seqs_per_step
+    t = max(1, 256 // n)
+    while b % t:
+        t -= 1
+    return t
 
 
 # ---------------------------------------------------------------------------
@@ -659,15 +666,7 @@ def flash_mha(qkv: jnp.ndarray, num_heads: int, scale: float,
     b, n, c3 = qkv.shape
     c = c3 // 3
     interpret = (not _on_tpu()) if interpret is None else interpret
-    if seqs_per_step:
-        if b % seqs_per_step:
-            raise ValueError(
-                f"seqs_per_step={seqs_per_step} does not divide batch {b}")
-        t = seqs_per_step
-    else:
-        t = max(1, 256 // n)
-        while b % t:
-            t -= 1
+    t = _pick_seqs_per_step(b, n, seqs_per_step)
     rows = t * n
     static = (num_heads, float(scale), rows, c, t, n, bool(interpret))
     out = _flash_core(static, qkv.reshape(b * n, 3 * c))

@@ -37,8 +37,14 @@ def overlap_out_of_core() -> bool:
     host the thread contends with step dispatch instead of hiding I/O —
     measured 35% slower (sync 72.1 vs overlap 46.7 fps, BASELINE.md round-4
     out-of-core table) — so the synchronous gather is chosen there
-    automatically (VERDICT r4 weak #6)."""
-    return (os.cpu_count() or 1) >= 2
+    automatically (VERDICT r4 weak #6).  Uses the cores actually available
+    to THIS process (sched_getaffinity) — a cgroup/affinity-limited
+    container on a many-core host is effectively the 1-core regime."""
+    try:
+        n = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux
+        n = os.cpu_count() or 1
+    return n >= 2
 
 
 class Trainer:
@@ -58,17 +64,24 @@ class Trainer:
         has_pipe = mesh is not None and mesh.shape.get("pipe", 1) > 1
         use_pp = has_pipe or (parallel == "pp" and mesh is not None
                               and mesh.shape.get("model", 1) > 1)
-        if mesh is not None and model is None:
+        if (mesh is not None and model is None
+                and int(np.prod(list(mesh.shape.values()))) > 1):
             # The train-path Pallas attention kernels (pallas/flash) are
             # single-device programs with no GSPMD partitioning rule; under
-            # a mesh the composed XLA path is the only sharded one.  The CLI
-            # gates this too, but direct Trainer users (and dryrun/multihost
-            # entries) must get the same guarantee here, where the model is
-            # actually built.
+            # a MULTI-device mesh the composed XLA path is the only sharded
+            # one (a 1-device mesh runs them fine).  The CLI gates this
+            # too, but direct Trainer users (and dryrun/multihost entries)
+            # get the same guarantee here, where the model is actually
+            # built — with a notice when an EXPLICIT request is overridden.
             from ultrasound_modeling_tpu.models.common import (
                 resolve_attn_train_impl)
             if resolve_attn_train_impl(cfg.model.attn_train_impl) != "xla":
                 import dataclasses as _dc
+                if cfg.model.attn_train_impl != "auto":
+                    print(f"WARNING: attn_train_impl="
+                          f"{cfg.model.attn_train_impl!r} is single-device "
+                          "only; using the composed XLA train attention "
+                          "under this mesh.", flush=True)
                 cfg = _dc.replace(cfg, model=_dc.replace(
                     cfg.model, attn_train_impl="xla"))
                 self.cfg = cfg
@@ -266,19 +279,23 @@ class Trainer:
             # measured 35% SLOWER there (sync 72.1 vs overlap 46.7 fps,
             # BASELINE.md round-4 out-of-core table) — so pick the
             # synchronous path automatically (VERDICT r4 weak #6).
-            if overlap_out_of_core():
+            overlap = overlap_out_of_core()
+            if not getattr(self, "_ooc_mode_announced", False):
+                # invariant across epochs — announce once, not per epoch
+                self._ooc_mode_announced = True
+                print("out-of-core loader: "
+                      + ("overlapped (double-buffered producer thread)"
+                         if overlap else
+                         "synchronous (1 available core — overlap measured "
+                         "35% slower here)"), flush=True)
+            if overlap:
                 from ultrasound_modeling_tpu.data.pipeline import prefetch
                 batches = prefetch(
                     self._epoch_batches(tc.batch_size), size=2,
                     place=lambda b: (*self._place_batch(b[0], b[1]), b[2]))
-                print("out-of-core loader: overlapped (double-buffered "
-                      f"producer thread; {os.cpu_count()} host cores)",
-                      flush=True)
             else:
                 batches = ((*self._place_batch(x, y), t)
                            for x, y, t in self._epoch_batches(tc.batch_size))
-                print("out-of-core loader: synchronous (1 host core — "
-                      "overlap measured 35% slower here)", flush=True)
         else:
             batches = self._epoch_batches(tc.batch_size)
         for x, y, terminator in batches:
