@@ -65,3 +65,37 @@ def test_from_toml_seeds_family_defaults(tmp_path):
     p2 = tmp_path / "fam2.toml"
     p2.write_text("[model]\nname = 'mobileunet'\nin_channels = 10\n")
     assert cfg_mod.from_toml(str(p2)).model.in_channels == 10
+
+
+def test_registry_train_impl_resolution(monkeypatch):
+    """Regression (round 5): the registry must resolve attn_train_impl with
+    the TRAIN rule — routing it through the inference resolver silently
+    mapped the vit 'auto' default onto the measured-slower 'pallas' train
+    kernel on TPU (caught as a 34% step regression in the bench_all
+    refresh), and rejects 'flash' outright."""
+    import dataclasses as dc
+    from types import SimpleNamespace
+
+    from ultrasound_modeling_tpu.config import default_config
+    from ultrasound_modeling_tpu.models import common
+    from ultrasound_modeling_tpu.models.registry import build_model
+
+    cfg = default_config("vit").model
+    # explicit 'flash' passes through (any platform)
+    m = build_model(dc.replace(cfg, attn_train_impl="flash"))
+    assert m.attn_train_impl == "flash"
+
+    # 'auto' on a (faked) TPU resolves to flash for TRAIN, pallas for infer
+    monkeypatch.setattr(
+        common, "jax",
+        SimpleNamespace(devices=lambda: [SimpleNamespace(platform="tpu")]))
+    m = build_model(dc.replace(cfg, attn_train_impl="auto"))
+    assert m.attn_train_impl == "flash", m.attn_train_impl
+    assert m.attn_impl == "pallas"
+
+    # and on CPU both fall back to the composed path
+    monkeypatch.setattr(
+        common, "jax",
+        SimpleNamespace(devices=lambda: [SimpleNamespace(platform="cpu")]))
+    m = build_model(dc.replace(cfg, attn_train_impl="auto"))
+    assert m.attn_train_impl == "xla"

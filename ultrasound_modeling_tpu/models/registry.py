@@ -22,6 +22,16 @@ def _resolve_impl(impl: str) -> str:
     return resolve_attn_impl(impl)
 
 
+def _resolve_train_impl(impl: str) -> str:
+    """TRAIN-path resolution — a DIFFERENT rule from the inference one
+    ('auto' -> flash on TPU, not pallas).  Routing attn_train_impl through
+    _resolve_impl here silently mapped the vit 'auto' default onto the
+    measured-slower round-4 'pallas' kernel (caught by the round-5
+    bench_all refresh: 68.8 ms/step vs flash's 51.2)."""
+    from ultrasound_modeling_tpu.models.common import resolve_attn_train_impl
+    return resolve_attn_train_impl(impl)
+
+
 def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
     name = cfg.name
     if name == "transunet":
@@ -34,7 +44,7 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             dropout_rate=cfg.dropout_rate, remat=cfg.remat,
             remat_conv=cfg.remat_conv,
             attn_impl=_resolve_impl(cfg.attn_impl),
-            attn_train_impl=_resolve_impl(
+            attn_train_impl=_resolve_train_impl(
                 getattr(cfg, "attn_train_impl", "xla")),
             pp_mesh=pp_mesh, pp_micro=pp_micro)
     if pp_mesh is not None:
@@ -55,7 +65,7 @@ def build_model(cfg: ModelConfig, pp_mesh=None, pp_micro: int = 0):
             learned_pos=cfg.vit_learned_pos,
             conv_stem=getattr(cfg, "vit_conv_stem", False),
             attn_impl=_resolve_impl(cfg.attn_impl),
-            attn_train_impl=_resolve_impl(
+            attn_train_impl=_resolve_train_impl(
                 getattr(cfg, "attn_train_impl", "xla")))
     if name == "swin":
         from ultrasound_modeling_tpu.models.swin import SwinSegmenter
