@@ -146,22 +146,30 @@ def main():
     from ultrasound_modeling_tpu.config import default_config
     from ultrasound_modeling_tpu.models.registry import build_model
 
-    # Throughput saturates around batch 256-512 on a v5e chip (latency-bound
-    # below that: the per-call host roundtrip dominates small batches).
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # Serving batch is a free deployment parameter, so the headline serves
+    # at the measured-best of the two saturation candidates.  The knee
+    # MOVED across rounds: b256 beat b128 through round 3, but the round-
+    # 4/5 fusion work made b128 the sweet spot (6820 vs 6316 fps, serial
+    # interleaved session 2026-08-21; b512 5949).  BENCH_BATCH pins one.
+    env_batch = os.environ.get("BENCH_BATCH")
+    candidates = [int(env_batch)] if env_batch else [128, 256]
     use_bf16 = os.environ.get("BENCH_BF16", "1") not in ("0", "false")
     if use_bf16:
         from ultrasound_modeling_tpu.models import common
         common.set_compute_dtype("bfloat16")
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, 256, 80, 10)), jnp.float32)
 
     # Build through the registry: resolves attn_impl='auto' to the fused
     # Pallas kernel on TPU — the SAME kernel `cli infer` serves with, so
     # the headline measures the production path.
     cfg = default_config("transunet")
     model = build_model(cfg.model)
-    stats = _bench_forward(model, x)
+    stats = batch = None
+    for b in candidates:
+        x = jnp.asarray(rng.normal(size=(b, 256, 80, 10)), jnp.float32)
+        s = _bench_forward(model, x)
+        if stats is None or s["frames_per_sec"] > stats["frames_per_sec"]:
+            stats, batch = s, b
 
     # Train-step headline on the same flagship (b64 matches the reference's
     # training batch, VisionTransformer.py:241).  BENCH_TRAIN=0 skips.
