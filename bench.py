@@ -149,7 +149,7 @@ def main():
     # Serving batch is a free deployment parameter, so the headline serves
     # at the measured-best of the two saturation candidates.  The knee
     # MOVED across rounds: b256 beat b128 through round 3, but the round-
-    # 4/5 fusion work made b128 the sweet spot (6820 vs 6316 fps, serial
+    # 4/5 fusion work made b128 the sweet spot (6823 vs 6316 fps, serial
     # interleaved session 2026-08-21; b512 5949).  BENCH_BATCH pins one.
     env_batch = os.environ.get("BENCH_BATCH")
     candidates = [int(env_batch)] if env_batch else [128, 256]

@@ -81,8 +81,12 @@ def test_registry_train_impl_resolution(monkeypatch):
     from ultrasound_modeling_tpu.models.registry import build_model
 
     cfg = default_config("vit").model
-    # explicit 'flash' passes through (any platform)
+    # explicit 'flash' passes through (any platform) — BOTH branches that
+    # take attn_train_impl (vit here, transunet below)
     m = build_model(dc.replace(cfg, attn_train_impl="flash"))
+    assert m.attn_train_impl == "flash"
+    tcfg = default_config("transunet").model
+    m = build_model(dc.replace(tcfg, attn_train_impl="flash"))
     assert m.attn_train_impl == "flash"
 
     # 'auto' on a (faked) TPU resolves to flash for TRAIN, pallas for infer
@@ -92,6 +96,8 @@ def test_registry_train_impl_resolution(monkeypatch):
     m = build_model(dc.replace(cfg, attn_train_impl="auto"))
     assert m.attn_train_impl == "flash", m.attn_train_impl
     assert m.attn_impl == "pallas"
+    m = build_model(dc.replace(tcfg, attn_train_impl="auto"))
+    assert m.attn_train_impl == "flash", m.attn_train_impl
 
     # and on CPU both fall back to the composed path
     monkeypatch.setattr(

@@ -648,8 +648,9 @@ def cmd_etl(args):
 
 def cmd_bench(args):
     # Explicit flags WIN over the environment; with no flag, bench.py's own
-    # defaults apply (batch 256 — the measured saturation point — so this
-    # entry point reports the same headline as `python bench.py`).
+    # defaults apply (a {128, 256} batch sweep reporting the measured-best
+    # point — so this entry point reports the same headline as
+    # `python bench.py`; pass --batch-size to pin one batch).
     if args.batch_size:
         os.environ["BENCH_BATCH"] = str(args.batch_size)
     if getattr(args, "bf16", False):
