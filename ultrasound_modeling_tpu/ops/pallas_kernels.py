@@ -891,7 +891,13 @@ def transformer_stack_fused(x: jnp.ndarray, stacked: dict, num_heads: int,
     if batch_per_step is None:
         batch_per_step = int(os.environ.get("UM_TPU_STACK_TILE", "4"))
     if per_elem is None:
-        per_elem = os.environ.get("UM_TPU_STACK_PER_ELEM", "0") == "1"
+        # Default flipped to per-element in round 5: the flavor re-sweep on
+        # the evolved kernel measured per-elem FASTER at both serving
+        # batches (interleaved bench.py sessions, 2026-08-21: b128 7002 vs
+        # 6820 fps, b256 6470 vs 6310 — +2.5-2.7%), overturning the
+        # round-3 masked-dense default.  UM_TPU_STACK_PER_ELEM=0 restores
+        # the dense flavor.
+        per_elem = os.environ.get("UM_TPU_STACK_PER_ELEM", "1") == "1"
     n_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
     for layer in range(n_layers):
         p = jax.tree_util.tree_map(lambda a: a[layer], stacked)
