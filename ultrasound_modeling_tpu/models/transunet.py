@@ -47,9 +47,10 @@ class Attention(nn.Module):
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
     # Train-path kernel gate (separate from attn_impl: the eval-path fused
-    # kernel is not differentiable, and the train fused kernel pays extra
-    # saved-tensor writes eval doesn't need).  'pallas' = fused forward with
-    # the saving bf16 backward (ops/pallas_kernels.attention_train_fused).
+    # kernel is not differentiable).  'pallas' = fused forward with the
+    # saving bf16 backward (attention_train_fused, measured slower);
+    # 'flash' = LSE-saving attention core (flash_mha — the vit TPU
+    # default via 'auto', measured +24.6% at b128); 'xla' = composed.
     attn_train_impl: str = "xla"
 
     @nn.compact
@@ -75,11 +76,12 @@ class Attention(nn.Module):
             x = x.astype(dt)
             wq, bq, wk, bk = (a.astype(dt) for a in (wq, bq, wk, bk))
             wv, bv, wo, bo = (a.astype(dt) for a in (wv, bv, wo, bo))
-        # Fused kernel on the inference path only: for the 80/160-token
-        # global attention the fused fwd wins big (ViT +49%) but the
-        # recompute backward costs more than it saves (ViT train -29%,
-        # measured on v5e), so training traces the composed XLA path.
-        # ``train`` is a static Python bool — this branch is trace-time.
+        # Inference: the fully-fused kernel (ViT +49%).  Training: the
+        # composed XLA path by default, or — the vit TPU default since
+        # round 5 — the 'flash' LSE-saving core below (+24.6% vit b128;
+        # the fully-fused saving-backward 'pallas' variant measured
+        # slower, BASELINE.md).  ``train`` is a static Python bool — this
+        # branch is trace-time.
         if resolve_attn_impl(self.attn_impl) == "pallas" and not train:
             from ultrasound_modeling_tpu.ops import pallas_kernels as pk
             qkv_w = jnp.concatenate([wq, wk, wv], axis=1)
